@@ -1,0 +1,25 @@
+"""Global numeric configuration for the TPU build.
+
+The reference (qiskit-community/adapt-aqc) runs float64/complex128 throughout
+because Aer is a CPU C++ simulator. On TPU, complex128 is emulated and slow;
+complex64 comfortably meets the default cost tolerance (sufficient_cost=1e-2,
+/root/reference/adaptaqc/utils/constants.py:31).  We therefore derive the
+working dtypes from JAX's x64 flag: tests running on CPU may enable x64 for
+high-precision oracle checks, while TPU runs default to complex64.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def real_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def complex_dtype():
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+# Minimum singular value considered nonzero when inverting bond weights in the
+# Vidal-form MPS update (Aer applies a similar regularisation internally).
+LAMBDA_EPS = 1e-12
