@@ -1,0 +1,448 @@
+"""MPS engine: Vidal-form matrix product state simulation in pure JAX.
+
+TPU-native replacement for the Aer MPS simulator + aqc_research.mps_operations
+stack the reference builds on (/root/reference/adaptaqc/backends/
+aer_mps_backend.py, SURVEY.md section 2.6). Design points:
+
+ - Fixed, padded bond dimension: gam is a split-complex (n, 2, chi, chi)
+   tensor, lam is (n+1, chi) real with boundary lam[0] = lam[n] = e0. Static
+   shapes keep one compiled program per (n, chi) — no recompiles as the
+   circuit grows, unlike dynamic-chi CPU codes.
+ - Gate application on *traced* site indices via dynamic_slice, so a
+   `lax.scan` over a tape executes any circuit. Non-adjacent 2q gates are
+   routed with swap networks exactly like Aer does internally.
+ - Bond truncation via split-complex SVD (ops/cplx.py): singular values below
+   `threshold` are zeroed and the spectrum is renormalised, matching
+   mps_sim_with_args(truncation_threshold, max_chi) semantics
+   (aer_mps_backend.py:27-42).
+
+The state is the convention ψ = λ0 Γ0 λ1 Γ1 ... Γ_{n-1} λn with B-form
+tensors B_i[p] = Γ_i[p] diag(λ_{i+1}); amplitude(bits) = (Π B_i[b_i])[0,0].
+Little-endian qubit order matches the statevector engine.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..circuits import gates as G
+from ..ops import cplx
+from ..ops.cplx import C
+from .. import config
+from .sv_core import build_u4
+
+
+class MPS(NamedTuple):
+    gam: C            # (n, 2, chi, chi)
+    lam: jnp.ndarray  # (n+1, chi) real
+
+    @property
+    def n(self):
+        return self.gam.shape[0]
+
+    @property
+    def chi(self):
+        return self.gam.shape[-1]
+
+
+def zero_mps(n: int, chi: int, dtype=None) -> MPS:
+    dtype = dtype or config.real_dtype()
+    gre = jnp.zeros((n, 2, chi, chi), dtype).at[:, 0, 0, 0].set(1.0)
+    gam = C(gre, jnp.zeros((n, 2, chi, chi), dtype))
+    lam = jnp.zeros((n + 1, chi), dtype).at[:, 0].set(1.0)
+    return MPS(gam, lam)
+
+
+def product_mps(amps: np.ndarray, chi: int, dtype=None) -> MPS:
+    """chi=1 product state from per-site (n, 2) complex amplitudes."""
+    dtype = dtype or config.real_dtype()
+    n = amps.shape[0]
+    st = zero_mps(n, chi, dtype)
+    gre = st.gam.re.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].real, dtype))
+    gre = gre.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].real, dtype))
+    gim = st.gam.im.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].imag, dtype))
+    gim = gim.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].imag, dtype))
+    return MPS(C(gre, gim), st.lam)
+
+
+def _pinv(v, eps=None):
+    eps = eps or config.LAMBDA_EPS
+    return jnp.where(v > eps, 1.0 / jnp.maximum(v, eps), 0.0)
+
+
+def b_tensors(state: MPS) -> C:
+    """B_i[p] = Γ_i[p] diag(λ_{i+1}): (n, 2, chi, chi)."""
+    lr = state.lam[1:, None, None, :]  # (n, 1, 1, chi)
+    return C(state.gam.re * lr, state.gam.im * lr)
+
+
+# ------------------------------------------------------------ gate application
+
+def _apply_1q_at(state: MPS, u2: C, q) -> MPS:
+    chi = state.chi
+    z = jnp.zeros_like(q)
+    site_re = lax.dynamic_slice(state.gam.re, (q, z, z, z), (1, 2, chi, chi))
+    site_im = lax.dynamic_slice(state.gam.im, (q, z, z, z), (1, 2, chi, chi))
+    site = C(site_re[0], site_im[0])  # (2, chi, chi)
+    new = cplx.einsum("pq,qab->pab", u2, site)
+    gre = lax.dynamic_update_slice(state.gam.re, new.re[None], (q, z, z, z))
+    gim = lax.dynamic_update_slice(state.gam.im, new.im[None], (q, z, z, z))
+    return MPS(C(gre, gim), state.lam)
+
+
+def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
+    """Apply 4x4 u4 (r = 2*p_right + p_left) on adjacent sites (k, k+1)."""
+    chi = state.chi
+    z = jnp.zeros_like(k)
+    gre = lax.dynamic_slice(state.gam.re, (k, z, z, z), (2, 2, chi, chi))
+    gim = lax.dynamic_slice(state.gam.im, (k, z, z, z), (2, 2, chi, chi))
+    gl = C(gre[0], gim[0])  # (2, chi, chi) site k
+    gr = C(gre[1], gim[1])  # site k+1
+    lams = lax.dynamic_slice(state.lam, (k, z), (3, chi))
+    lam_l, lam_m, lam_r = lams[0], lams[1], lams[2]
+
+    # theta[a, pl, pr, b] with full surrounding lambdas
+    tl = C(gl.re * lam_l[None, :, None] * lam_m[None, None, :],
+           gl.im * lam_l[None, :, None] * lam_m[None, None, :])
+    tr = C(gr.re * lam_r[None, None, :], gr.im * lam_r[None, None, :])
+    theta = cplx.einsum("pac,qcb->apqb", tl, tr)  # (chi, 2, 2, chi)
+
+    u4r = u4.reshape(2, 2, 2, 2)  # [q, p, q', p']
+    theta = cplx.einsum("qpsr,arsb->apqb", u4r, theta)
+
+    m = theta.reshape(chi * 2, 2 * chi)  # rows (a,pl), cols (pr,b)
+    u, s, vh = cplx.svd_trunc(m, chi, threshold)
+    # renormalise the kept spectrum (Aer renormalises after truncation)
+    snorm = jnp.sqrt(jnp.sum(s * s))
+    s_new = s / jnp.maximum(snorm, 1e-30)
+
+    inv_l = _pinv(lam_l)
+    inv_r = _pinv(lam_r)
+    unew = u.reshape(chi, 2, chi)          # (a, pl, c)
+    gl_new = C(unew.re.transpose(1, 0, 2) * inv_l[None, :, None],
+               unew.im.transpose(1, 0, 2) * inv_l[None, :, None])
+    vnew = vh.reshape(chi, 2, chi)         # (c, pr, b)
+    gr_new = C(vnew.re.transpose(1, 0, 2) * inv_r[None, None, :],
+               vnew.im.transpose(1, 0, 2) * inv_r[None, None, :])
+
+    stack = cplx.stack([gl_new, gr_new])   # (2, 2, chi, chi)
+    gre2 = lax.dynamic_update_slice(state.gam.re, stack.re, (k, z, z, z))
+    gim2 = lax.dynamic_update_slice(state.gam.im, stack.im, (k, z, z, z))
+    lam2 = lax.dynamic_update_slice(state.lam, s_new[None], (k + 1, z))
+    return MPS(C(gre2, gim2), lam2)
+
+
+_SWAP_NP = np.eye(4)[[0, 2, 1, 3]].astype(np.float64)
+
+
+def _swap_u4(dtype):
+    return C(jnp.asarray(_SWAP_NP, dtype), jnp.zeros((4, 4), dtype))
+
+
+def _apply_2q_routed(state: MPS, u4: C, q0, q1, threshold) -> MPS:
+    """2q gate on (q0 < q1) with swap routing (Aer does the same internally)."""
+    swap = _swap_u4(state.lam.dtype)
+
+    def swap_right(k, st):
+        return _apply_2q_adjacent(st, swap, k, threshold)
+
+    state = lax.fori_loop(q0, q1 - 1, swap_right, state)
+    state = _apply_2q_adjacent(state, u4, q1 - 1, threshold)
+
+    def swap_back(m, st):
+        return _apply_2q_adjacent(st, swap, q1 - 2 - m, threshold)
+
+    state = lax.fori_loop(0, jnp.maximum(q1 - 1 - q0, 0), swap_back, state)
+    return state
+
+
+def make_apply(threshold: float):
+    """Build (state, kind, q0, q1, angle) -> state appliers for the sweep."""
+    def apply_gate(state: MPS, kind, q0, q1, angle) -> MPS:
+        u4 = build_u4(kind, angle, state.lam.dtype)
+        is2q = (kind == G.CX) | (kind == G.CZ) | (kind == G.SWAP) | (kind >= G.N_KINDS)
+
+        def two_q():
+            return _apply_2q_routed(state, u4, q0, q1, threshold)
+
+        def one_q():
+            return _apply_1q_at(state, u4[:2, :2], q0)
+
+        return lax.cond(is2q, two_q, one_q)
+
+    def apply_gate_adjoint(state: MPS, kind, q0, q1, angle) -> MPS:
+        u4 = build_u4(kind, angle, state.lam.dtype)
+        u4h = u4.H
+        is2q = (kind == G.CX) | (kind == G.CZ) | (kind == G.SWAP) | (kind >= G.N_KINDS)
+
+        def two_q():
+            return _apply_2q_routed(state, u4h, q0, q1, threshold)
+
+        def one_q():
+            return _apply_1q_at(state, u4h[:2, :2], q0)
+
+        return lax.cond(is2q, two_q, one_q)
+
+    return apply_gate, apply_gate_adjoint
+
+
+def apply_tape(state: MPS, kinds, q0s, q1s, angles, threshold) -> MPS:
+    apply_gate, _ = make_apply(threshold)
+
+    def body(s, x):
+        k, a, b, th = x
+        return apply_gate(s, k, a, b, th), None
+
+    state, _ = lax.scan(body, state, (kinds, q0s, q1s, angles))
+    return state
+
+
+# ---------------------------------------------------------------- observables
+
+def mps_dot(a: MPS, b: MPS) -> C:
+    """<a|b> via transfer-matrix contraction (mps_operations.mps_dot)."""
+    chi = a.chi
+    ba = b_tensors(a)
+    bb = b_tensors(b)
+    e0 = cplx.zeros((chi, chi), a.lam.dtype)
+    e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+
+    def site(e, x):
+        ta, tb = x  # (2, chi, chi) each
+        new = cplx.einsum("pax,ab,pby->xy", ta.conj(), e, tb)
+        return new, None
+
+    e, _ = lax.scan(site, e0, (ba, bb))
+    return e[0, 0]
+
+
+def overlap_with_zero(state: MPS) -> C:
+    """<0...0|state> — chain of B_i[0] matrices."""
+    bs = b_tensors(state)
+    b0 = bs[:, 0]  # (n, chi, chi)
+    chi = state.chi
+    v = cplx.zeros((chi,), state.lam.dtype)
+    v = C(v.re.at[0].set(1.0), v.im)
+
+    def site(vc, bk):
+        return cplx.einsum("a,ab->b", vc, bk), None
+
+    v, _ = lax.scan(site, v, b0)
+    return v[0]
+
+
+def amplitude(state: MPS, bits) -> C:
+    """<bits|state> for a (n,) int array of bit values (little-endian site i
+    = qubit i) — mps_operations.extract_amplitude analogue."""
+    bs = b_tensors(state)
+    chi = state.chi
+    v = cplx.zeros((chi,), state.lam.dtype)
+    v = C(v.re.at[0].set(1.0), v.im)
+
+    def site(vc, x):
+        bk, bit = x
+        return cplx.einsum("a,ab->b", vc, bk[bit]), None
+
+    v, _ = lax.scan(site, v, (bs, bits))
+    return v[0]
+
+
+def hamming1_overlaps(state: MPS):
+    """|<e_i|state>|^2 for all n Hamming-weight-1 basis states e_i = 2^i,
+    via prefix/suffix products of B[0] (aer_mps_backend.py:88-93)."""
+    bs = b_tensors(state)
+    b0 = bs[:, 0]
+    b1 = bs[:, 1]
+    chi = state.chi
+    v0 = cplx.zeros((chi,), state.lam.dtype)
+    v0 = C(v0.re.at[0].set(1.0), v0.im)
+
+    def fwd(vc, bk):
+        nv = cplx.einsum("a,ab->b", vc, bk)
+        return nv, vc
+
+    _, prefixes = lax.scan(fwd, v0, b0)       # prefixes[i] = prod_{k<i} B_k[0]
+
+    def bwd(vc, bk):
+        nv = cplx.einsum("ab,b->a", bk, vc)
+        return nv, vc
+
+    e_end = cplx.zeros((chi,), state.lam.dtype)
+    e_end = C(e_end.re.at[0].set(1.0), e_end.im)
+    _, suffixes_rev = lax.scan(bwd, e_end, jax.tree.map(lambda x: jnp.flip(x, 0), b0))
+    suffixes = jax.tree.map(lambda x: jnp.flip(x, 0), suffixes_rev)  # suffixes[i] = prod_{k>i} B_k[0] e
+
+    amps = cplx.einsum("ia,iab,ib->i", prefixes, b1, suffixes)
+    return amps.abs2()
+
+
+def z_expectations(state: MPS):
+    """<Z_i> for every site using the canonical-form environments
+    (mps_operations.mps_expectation analogue)."""
+    bs = b_tensors(state)
+    lam2 = state.lam[:-1] ** 2  # (n, chi)
+    w = jnp.einsum("ia,ipab->ip", lam2, bs.abs2())
+    return w[:, 0] - w[:, 1]
+
+
+def local_overlap_matrix(r_state: MPS, l_state: MPS, q) -> C:
+    """C[i,j] = <R| |i><j|_q |L> for the Rotosolve sweep — prefix/suffix
+    transfer environments with open physical legs at site q."""
+    chi = l_state.chi
+    br = b_tensors(r_state)
+    bl = b_tensors(l_state)
+    e0 = cplx.zeros((chi, chi), l_state.lam.dtype)
+    e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+
+    def fwd(e, x):
+        tr, tl = x
+        return cplx.einsum("pax,ab,pby->xy", tr.conj(), e, tl), e
+
+    _, prefixes = lax.scan(fwd, e0, (br, bl))  # prefixes[k] = env of sites <k
+
+    def bwd(f, x):
+        tr, tl = x
+        return cplx.einsum("pxa,ab,pyb->xy", tr.conj(), f, tl), f
+
+    _, suffixes_rev = lax.scan(
+        bwd, e0, jax.tree.map(lambda v: jnp.flip(v, 0), (br, bl)))
+    suffixes = jax.tree.map(lambda v: jnp.flip(v, 0), suffixes_rev)
+    # suffixes[k] = env of sites >k
+
+    e_q = prefixes[q]
+    f_q = suffixes[q]
+    brq = br[q]  # (2, chi, chi)
+    blq = bl[q]
+    return cplx.einsum("iax,ab,jby,xy->ij", brq.conj(), e_q, blq, f_q)
+
+
+def all_pair_rdms(state: MPS):
+    """rho(i, j) for all site pairs i < j: returns C (n, n, 4, 4) where entry
+    [i, j] is the 2-site RDM with qubit i as the LSB (matching
+    mps_operations.partial_trace / entanglement_measures.py:76-79).
+
+    One left-anchored open-leg propagation per i, vmapped over i; each scan
+    step emits the RDM for the current j. O(n^2 chi^3) total.
+    """
+    n, chi = state.n, state.chi
+    bs = b_tensors(state)
+    lam2 = state.lam[:-1] ** 2
+
+    def for_i(i):
+        bi = bs[i]  # (2, chi, chi)
+        # T[p, p', a, b] = sum_c lam2[i][c] B_i[p][c,a] conj(B_i[p'][c,b])
+        t0 = cplx.einsum("c,pca,qcb->pqab", lam2[i], bi, bi.conj())
+
+        def step(t, j):
+            valid = (j > i) & (j < n)
+            jc = jnp.clip(j, 0, n - 1)
+            bj = bs[jc]
+            # rho[(pj,pi),(pj',pi')] = sum_ab T[pi,pi',a,b] sum_c B_j[pj][a,c] conj(B_j[pj'][b,c])
+            rho = cplx.einsum("pqab,rac,sbc->rpsq", t, bj, bj.conj())
+            rho = rho.reshape(4, 4)
+            # propagate T through site j
+            t_new = cplx.einsum("pqab,rax,rby->pqxy", t, bj, bj.conj())
+            t = cplx.where(valid, t_new, t)
+            rho = cplx.where(valid, rho, cplx.zeros((4, 4), state.lam.dtype))
+            return t, rho
+
+        _, rhos = lax.scan(step, t0, jnp.arange(n))
+        return rhos  # (n, 4, 4); entry j valid when j > i
+
+    return jax.vmap(for_i)(jnp.arange(n))
+
+
+# -------------------------------------------------- host conversion utilities
+
+def to_dense(state: MPS) -> np.ndarray:
+    """Contract to a 2^n statevector (host, for tests / small n)."""
+    gam = cplx.to_np(state.gam)
+    lam = np.asarray(state.lam)
+    n, _, chi, _ = gam.shape
+    b = gam * lam[1:, None, None, :]
+    psi = b[0]  # (2, chi, chi), left bond 0 only
+    acc = psi[:, 0, :]  # (2, chi) physical index of site 0 first
+    # accumulate: acc[(p0...pk), c]
+    for i in range(1, n):
+        acc = np.einsum("xc,pcd->xpd", acc, b[i]).reshape(-1, chi)
+    vec = acc[:, 0]
+    # vec index order: p0 p1 ... p_{n-1} with p0 slowest? We built x as
+    # (p0, p1, ..., p_i) row-major: p0 is the most significant factor.
+    # Little-endian qubit i = site i must be bit i of the basis index:
+    # index = sum p_i 2^i, so p0 most significant in `vec`'s layout means we
+    # must transpose.
+    vec = vec.reshape([2] * n)          # axes (p0, ..., p_{n-1})
+    vec = np.transpose(vec, range(n)[::-1])  # now axis 0 = p_{n-1}
+    return vec.reshape(-1)
+
+
+def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
+    """Import the Qiskit MPS format (list of (G0, G1) per site, list of
+    lambda vectors per bond — constants.py:16-17) into padded Vidal form."""
+    dtype = dtype or config.real_dtype()
+    gams, lams = qmps
+    n = len(gams)
+    gre = np.zeros((n, 2, chi, chi))
+    gim = np.zeros((n, 2, chi, chi))
+    lam = np.zeros((n + 1, chi))
+    lam[0, 0] = lam[n, 0] = 1.0
+    for i, pair in enumerate(gams):
+        for p in (0, 1):
+            m = np.asarray(pair[p])
+            if m.ndim == 1:
+                m = m.reshape(1, -1) if i == 0 else m.reshape(-1, 1)
+            dl, dr = m.shape
+            if dl > chi or dr > chi:
+                raise ValueError(f"bond dim {m.shape} exceeds padded chi={chi}")
+            gre[i, p, :dl, :dr] = m.real
+            gim[i, p, :dl, :dr] = m.imag
+    for i, v in enumerate(lams):
+        v = np.asarray(v)
+        lam[i + 1, :v.size] = v
+    return MPS(C(jnp.asarray(gre, dtype), jnp.asarray(gim, dtype)),
+               jnp.asarray(lam, dtype))
+
+
+def to_qiskit_mps(state: MPS):
+    """Export to the Qiskit MPS format, stripping bond padding."""
+    gam = cplx.to_np(state.gam)
+    lam = np.asarray(state.lam)
+    n = state.n
+    dims = [1]
+    for i in range(1, n):
+        dims.append(max(int((lam[i] > 0).sum()), 1))
+    dims.append(1)
+    gams = []
+    lams = []
+    for i in range(n):
+        dl, dr = dims[i], dims[i + 1]
+        gams.append((gam[i, 0, :dl, :dr], gam[i, 1, :dl, :dr]))
+        if i < n - 1:
+            lams.append(lam[i + 1, :dims[i + 1]])
+    return gams, lams
+
+
+def check_mps(obj) -> bool:
+    """Heuristic type check mirroring aqc_research.check_mps usage
+    (approximate_compiler.py:121)."""
+    if isinstance(obj, MPS):
+        return True
+    if (isinstance(obj, tuple) and len(obj) == 2
+            and isinstance(obj[0], (list, tuple))
+            and isinstance(obj[1], (list, tuple))
+            and len(obj[0]) > 0 and isinstance(obj[0][0], (tuple, list))):
+        return True
+    return False
+
+
+def sweep_engine(threshold: float):
+    from ..optim.sweeps import SweepEngine
+    apply_gate, apply_adj = make_apply(threshold)
+    return SweepEngine(f"mps[{threshold}]", apply_gate, apply_adj,
+                       local_overlap_matrix, mps_dot)

@@ -311,12 +311,14 @@ def svd_trunc(theta: C, chi_keep: int, threshold: float):
     """
     m, n = theta.shape
     h = theta.H @ theta  # (n, n) Hermitian PSD
-    w, vrows = eigh_top(h, chi_keep)  # descending; vrows: (chi_keep, n)
+    w, vrows = eigh_top(h, chi_keep)  # descending; vrows[i] = eigenvector v_i
     s = jnp.sqrt(jnp.maximum(w, 0.0))
     keep = s > threshold
     s_k = jnp.where(keep, s, 0.0)
     inv_s = jnp.where(s > 1e-30, 1.0 / jnp.maximum(s, 1e-30), 0.0)
-    u = theta @ vrows.H  # (m, chi_keep); columns have norm s
+    # theta = U S V^H with V columns v_i: U = theta V / s, Vh rows = conj(v_i)
+    u = theta @ vrows.T  # (m, chi_keep); columns theta v_i have norm s_i
     u = C(u.re * (inv_s * keep), u.im * (inv_s * keep))
-    vh = C(vrows.re * keep[:, None], vrows.im * keep[:, None])
+    vh = vrows.conj()
+    vh = C(vh.re * keep[:, None], vh.im * keep[:, None])
     return u, s_k, vh

@@ -1,0 +1,166 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adaptaqc_tpu.circuits.circuit import Circuit
+from adaptaqc_tpu.circuits.tape import compile_tape
+from adaptaqc_tpu.backends import mps_core, sv_core
+from adaptaqc_tpu.ops import cplx
+from adaptaqc_tpu.optim import sweeps
+
+from reference_sim import simulate
+from test_sv_core import random_circuit
+
+THR = 1e-12
+
+
+def run_mps(qc, chi):
+    tape = compile_tape(qc)
+    st = mps_core.zero_mps(qc.num_qubits, chi)
+    return mps_core.apply_tape(st, tape.kinds, tape.q0, tape.q1, tape.angles, THR)
+
+
+def test_mps_matches_dense_random():
+    rng = np.random.default_rng(0)
+    for n, chi in ((2, 2), (3, 4), (5, 8)):
+        qc = random_circuit(n, 24, rng)
+        st = run_mps(qc, chi)
+        dense = mps_core.to_dense(st)
+        expected = simulate(qc)
+        # global phase must match too (MPS evolution tracks exact state)
+        np.testing.assert_allclose(dense, expected, atol=1e-5)
+
+
+def test_mps_nonadjacent_gates():
+    rng = np.random.default_rng(1)
+    qc = Circuit(5)
+    qc.h(0)
+    qc.cx(0, 4)      # long-range, swap-routed
+    qc.ry(0.7, 2)
+    qc.cx(4, 1)      # reversed control/target (CXR path)
+    qc.cz(3, 0)
+    st = run_mps(qc, 8)
+    np.testing.assert_allclose(mps_core.to_dense(st), simulate(qc), atol=1e-5)
+
+
+def test_mps_overlaps_and_amplitudes():
+    rng = np.random.default_rng(2)
+    qc = random_circuit(4, 20, rng)
+    st = run_mps(qc, 8)
+    sv = simulate(qc)
+    # <0|psi>
+    ov = cplx.to_np(mps_core.overlap_with_zero(st))
+    assert abs(ov - sv[0]) < 1e-5
+    # amplitude of arbitrary basis state 0b1011 (bits little-endian)
+    bits = jnp.asarray([1, 1, 0, 1], jnp.int32)
+    amp = cplx.to_np(mps_core.amplitude(st, bits))
+    assert abs(amp - sv[0b1011]) < 1e-5
+    # hamming-1 overlaps
+    h1 = np.asarray(mps_core.hamming1_overlaps(st))
+    for i in range(4):
+        assert abs(h1[i] - abs(sv[2 ** i]) ** 2) < 1e-5
+    # z expectations match SV engine
+    evs = np.asarray(mps_core.z_expectations(st))
+    tape = compile_tape(qc)
+    svst = sv_core.apply_tape(sv_core.zero_state(4), tape.kinds, tape.q0,
+                              tape.q1, tape.angles)
+    np.testing.assert_allclose(evs, np.asarray(sv_core.z_expectations(svst, 4)),
+                               atol=1e-5)
+
+
+def test_mps_dot_cross_circuits():
+    rng = np.random.default_rng(3)
+    qa = random_circuit(4, 15, rng)
+    qb = random_circuit(4, 15, rng)
+    sta, stb = run_mps(qa, 8), run_mps(qb, 8)
+    dot = cplx.to_np(mps_core.mps_dot(sta, stb))
+    expected = np.vdot(simulate(qa), simulate(qb))
+    assert abs(dot - expected) < 1e-5
+
+
+def test_mps_truncation_ghz_degenerate():
+    # GHZ has exactly degenerate Schmidt values everywhere — the hard case
+    # for the real-embedding SVD.
+    n = 6
+    qc = Circuit(n)
+    qc.h(0)
+    for q in range(n - 1):
+        qc.cx(q, q + 1)
+    st = run_mps(qc, 4)
+    dense = mps_core.to_dense(st)
+    expected = simulate(qc)
+    np.testing.assert_allclose(np.abs(np.vdot(dense, expected)), 1.0, atol=1e-5)
+
+
+def test_all_pair_rdms_match_sv():
+    rng = np.random.default_rng(4)
+    n = 4
+    qc = random_circuit(n, 18, rng)
+    st = run_mps(qc, 8)
+    rhos = mps_core.all_pair_rdms(st)
+    tape = compile_tape(qc)
+    svst = sv_core.apply_tape(sv_core.zero_state(n), tape.kinds, tape.q0,
+                              tape.q1, tape.angles)
+    for i in range(n):
+        for j in range(i + 1, n):
+            rho_mps = cplx.to_np(rhos[i, j])
+            rho_sv = cplx.to_np(sv_core.rdm2(svst, i, j))
+            np.testing.assert_allclose(rho_mps, rho_sv, atol=1e-5)
+
+
+def test_local_overlap_matrix_mps():
+    rng = np.random.default_rng(5)
+    n = 4
+    qa = random_circuit(n, 12, rng)
+    qb = random_circuit(n, 12, rng)
+    R, L = run_mps(qa, 8), run_mps(qb, 8)
+    svR, svL = simulate(qa), simulate(qb)
+    for q in range(n):
+        C_mps = cplx.to_np(mps_core.local_overlap_matrix(R, L, q))
+        C_sv = cplx.to_np(sv_core.local_overlap_matrix(
+            sv_core.state_from_vector(svR), sv_core.state_from_vector(svL), q))
+        np.testing.assert_allclose(C_mps, C_sv, atol=1e-5)
+
+
+@pytest.mark.parametrize("rotoselect", [False, True])
+def test_mps_sweep_matches_sv_sweep(rotoselect):
+    rng = np.random.default_rng(6)
+    n = 4
+    qc = random_circuit(n, 16, rng)
+    tape = compile_tape(qc)
+    sel = tape.trainable.copy()
+    args = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles), jnp.asarray(sel))
+    bl = sweeps.default_block_len(tape.padded_length)
+
+    nk_sv, na_sv, cost_sv, _, _ = sweeps.sweep(
+        sv_core.sweep_engine(), bl, rotoselect,
+        sv_core.zero_state(n), sv_core.zero_state(n), *args)
+    nk_m, na_m, cost_m, _, _ = sweeps.sweep(
+        mps_core.sweep_engine(THR), bl, rotoselect,
+        mps_core.zero_mps(n, 8), mps_core.zero_mps(n, 8), *args)
+
+    assert abs(float(cost_sv) - float(cost_m)) < 1e-4
+    np.testing.assert_array_equal(np.asarray(nk_sv), np.asarray(nk_m))
+    # Angles may differ on flat sinusoids (degenerate minima) — compare the
+    # physical outcome: re-simulate the MPS-swept circuit densely and check
+    # it reproduces the SV-swept cost.
+    from adaptaqc_tpu.circuits.circuit import create_1q_gate
+    from adaptaqc_tpu.circuits import gates as G
+    qc_m = qc.copy()
+    for i, (off, cnt) in enumerate(tape.data_index_map):
+        if cnt == 1 and tape.trainable[off]:
+            qc_m.data[i] = create_1q_gate(G.KIND_NAMES[int(nk_m[off])],
+                                          float(na_m[off]), qc.data[i].qubits[0])
+    sv = simulate(qc_m)
+    assert abs((1.0 - abs(sv[0]) ** 2) - float(cost_m)) < 1e-4
+
+
+def test_qiskit_mps_roundtrip():
+    rng = np.random.default_rng(7)
+    qc = random_circuit(4, 18, rng)
+    st = run_mps(qc, 8)
+    qmps = mps_core.to_qiskit_mps(st)
+    st2 = mps_core.from_qiskit_mps(qmps, 8)
+    dot = cplx.to_np(mps_core.mps_dot(st, st2))
+    assert abs(abs(dot) - 1.0) < 1e-6
