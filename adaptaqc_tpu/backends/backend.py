@@ -1,0 +1,345 @@
+"""Backend layer: the AQCBackend contract + TPU engine adapters.
+
+Mirrors the reference backend stack (/root/reference/adaptaqc/backends/):
+ - AQCBackend ABC: aqc_backend.py:14-29 (evaluate_global_cost,
+   evaluate_local_cost, evaluate_circuit, measure_qubit_expectation_values)
+ - SVBackend ~ AerSVBackend (aer_sv_backend.py)
+ - MPSBackend ~ AerMPSBackend + mps_sim_with_args (aer_mps_backend.py)
+ - SamplingBackend ~ QiskitSamplingBackend (qiskit_sampling_backend.py)
+
+Design inversion vs the reference: backends do not "run a circuit object in
+an external simulator"; they hold jit caches and evaluate tapes against a
+cached on-device prefix state, so a cost query after the prefix is a single
+device call and adaptive growth never recompiles (tape length buckets).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from abc import ABC, abstractmethod
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuits.circuit import Circuit
+from ..circuits.tape import Tape, compile_tape
+from ..ops import cplx
+from . import mps_core, sv_core
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_MAX_CHI = 64
+DEFAULT_TRUNCATION_THRESHOLD = 1e-16
+
+
+class AQCBackend(ABC):
+    """Backend contract (aqc_backend.py:14-29)."""
+
+    @abstractmethod
+    def evaluate_global_cost(self, compiler):
+        ...
+
+    @abstractmethod
+    def evaluate_local_cost(self, compiler):
+        ...
+
+    @abstractmethod
+    def evaluate_circuit(self, compiler):
+        ...
+
+    @abstractmethod
+    def measure_qubit_expectation_values(self, compiler):
+        ...
+
+
+def _tape_args(tape: Tape):
+    return (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles))
+
+
+class SVBackend(AQCBackend):
+    """Statevector cost engine (AerSVBackend analogue)."""
+
+    engine_name = "sv"
+
+    def __init__(self):
+        self._jit_cache = {}
+
+    # ------------------------------------------------------- engine plumbing
+    def initial_state(self, circuit: Circuit, n: int):
+        """Engine state for the leading state-injection instruction (if any)."""
+        if circuit.data and circuit.data[0].name == "set_statevector":
+            return sv_core.state_from_vector(circuit.data[0].payload)
+        if circuit.data and circuit.data[0].name == "set_mps":
+            raise ValueError("SV backend cannot consume an MPS target")
+        return sv_core.zero_state(n)
+
+    def run_tape(self, state, tape: Tape):
+        key = ("run", tape.padded_length, state.re.shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(sv_core.apply_tape)
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
+    def state_of(self, compiler):
+        return compiler._current_state()
+
+    def sweep_engine(self):
+        return sv_core.sweep_engine()
+
+    def zero_ref(self, compiler):
+        return sv_core.zero_state(compiler.full_circuit.num_qubits)
+
+    # ----------------------------------------------------------- cost layer
+    def evaluate_global_cost(self, compiler):
+        if compiler.soften_global_cost:
+            raise NotImplementedError(
+                "soften_global_cost is currently only implemented for MPSBackend")
+        state = self.state_of(compiler)
+        return float(sv_core.global_cost(state))
+
+    def evaluate_local_cost(self, compiler):
+        e_vals = self.measure_qubit_expectation_values(compiler)
+        return float(0.5 * (1 - np.mean(e_vals)))
+
+    def evaluate_circuit(self, compiler):
+        return self.state_of(compiler)
+
+    def measure_qubit_expectation_values(self, compiler):
+        state = self.state_of(compiler)
+        n = compiler.full_circuit.num_qubits
+        return list(np.asarray(sv_core.z_expectations(state, n)))
+
+    # -------------------------------------------------------- analysis layer
+    def all_pair_rdms(self, state, pairs: np.ndarray):
+        key = ("rdms", state.re.shape, pairs.shape, pairs.tobytes())
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            parr = jnp.asarray(pairs, jnp.int32)
+            fn = jax.jit(lambda s: sv_core.all_pair_rdms(s, parr))
+            self._jit_cache[key] = fn
+        rhos = fn(state)
+        return [cplx.to_np(rhos[i]) for i in range(len(pairs))]
+
+    def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
+        if state is None:
+            state = self.state_of(circuit_or_compiler)
+        lo, hi = min(q1, q2), max(q1, q2)
+        return cplx.to_np(sv_core.rdm2(state, lo, hi))
+
+    def statevector(self, compiler) -> np.ndarray:
+        return cplx.to_np(self.state_of(compiler))
+
+
+class MPSBackend(AQCBackend):
+    """MPS cost engine (AerMPSBackend analogue).
+
+    :param truncation_threshold: singular values below this are discarded
+        (matrix_product_state_truncation_threshold, aer_mps_backend.py:27-42)
+    :param max_chi: padded bond dimension; the engine truncates to it
+        (matrix_product_state_max_bond_dimension). Static for XLA.
+    """
+
+    engine_name = "mps"
+
+    def __init__(self, truncation_threshold: float = DEFAULT_TRUNCATION_THRESHOLD,
+                 max_chi: Optional[int] = None):
+        self.truncation_threshold = float(truncation_threshold)
+        self.max_chi = max_chi
+        self._jit_cache = {}
+
+    def chi_for(self, n: int) -> int:
+        cap = self.max_chi or DEFAULT_MAX_CHI
+        full = 2 ** ((n + 1) // 2)
+        return int(min(cap, max(2, full)))
+
+    def initial_state(self, circuit: Circuit, n: int):
+        chi = self.chi_for(n)
+        if circuit.data and circuit.data[0].name == "set_mps":
+            payload = circuit.data[0].payload
+            if isinstance(payload, mps_core.MPS):
+                if payload.chi != chi:
+                    raise ValueError("cached MPS chi mismatch")
+                return payload
+            return mps_core.from_qiskit_mps(payload, chi)
+        if circuit.data and circuit.data[0].name == "set_statevector":
+            raise ValueError(
+                "MPS backend received a raw statevector target; pass a circuit "
+                "or a Qiskit-format MPS instead")
+        return mps_core.zero_mps(n, chi)
+
+    def run_tape(self, state, tape: Tape):
+        key = ("run", tape.padded_length, state.chi, state.n)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            thr = self.truncation_threshold
+            fn = jax.jit(lambda s, k, a, b, th: mps_core.apply_tape(
+                s, k, a, b, th, thr))
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
+    def state_of(self, compiler):
+        return compiler._current_state()
+
+    def sweep_engine(self):
+        return mps_core.sweep_engine(self.truncation_threshold)
+
+    def zero_ref(self, compiler):
+        n = compiler.full_circuit.num_qubits
+        return mps_core.zero_mps(n, self.chi_for(n))
+
+    # ----------------------------------------------------------- cost layer
+    def evaluate_global_cost(self, compiler):
+        state = self.state_of(compiler)
+        global_cost = float(1.0 - mps_core.overlap_with_zero(state).abs2())
+        if not compiler.soften_global_cost:
+            return global_cost
+        previous_cost = (compiler.global_cost_history[-1]
+                         if len(compiler.global_cost_history) > 0 else 1)
+        alpha = abs(previous_cost - compiler.adapt_config.sufficient_cost)
+        h1 = np.asarray(mps_core.hamming1_overlaps(state))
+        return global_cost - alpha * float(h1.sum())
+
+    def evaluate_local_cost(self, compiler):
+        evals = self.measure_qubit_expectation_values(compiler)
+        return float(0.5 * (1 - np.mean(evals)))
+
+    def evaluate_circuit(self, compiler):
+        return self.state_of(compiler)
+
+    def measure_qubit_expectation_values(self, compiler):
+        state = self.state_of(compiler)
+        return list(np.asarray(mps_core.z_expectations(state)))
+
+    # -------------------------------------------------------- analysis layer
+    def all_pair_rdms(self, state, pairs: np.ndarray):
+        key = ("rdms", state.n, state.chi)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(mps_core.all_pair_rdms)
+            self._jit_cache[key] = fn
+        rhos = fn(state)  # (n, n, 4, 4), [i, j] valid for j > i
+        out = []
+        for (a, b) in pairs:
+            lo, hi = min(a, b), max(a, b)
+            out.append(cplx.to_np(rhos[lo, hi]))
+        return out
+
+    def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
+        if state is None:
+            state = self.state_of(circuit_or_compiler)
+        lo, hi = min(q1, q2), max(q1, q2)
+        rhos = mps_core.all_pair_rdms(state)
+        return cplx.to_np(rhos[lo, hi])
+
+    def mps_from_compiler_target(self, circuit: Circuit):
+        """Simulate a target circuit into an MPS (the reference's
+        mps_from_circuit precompute, approximate_compiler.py:196-204)."""
+        n = circuit.num_qubits
+        state = self.initial_state(circuit, n)
+        start = 1 if (circuit.data and circuit.data[0].name in
+                      ("set_mps", "set_statevector")) else 0
+        tape = compile_tape(circuit, (start, len(circuit.data)))
+        return self.run_tape(state, tape)
+
+
+class SamplingBackend(AQCBackend):
+    """Shot-based cost estimates via categorical sampling from engine
+    probabilities (QiskitSamplingBackend analogue; the 'QASM' backend)."""
+
+    engine_name = "sampling"
+
+    def __init__(self, shots: int = 8192, seed: int = 0):
+        self.shots = shots
+        self._sv = SVBackend()
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # engine plumbing delegates to the statevector engine
+    def initial_state(self, circuit, n):
+        return self._sv.initial_state(circuit, n)
+
+    def run_tape(self, state, tape):
+        return self._sv.run_tape(state, tape)
+
+    def state_of(self, compiler):
+        return compiler._current_state()
+
+    def sweep_engine(self):
+        return None  # no closed-form fast path for shot-based costs
+
+    def zero_ref(self, compiler):
+        return self._sv.zero_ref(compiler)
+
+    def counts(self, compiler, shots: Optional[int] = None):
+        """Sampled counts dict {bitstring: count}, bitstrings with qubit 0 as
+        the RIGHTMOST character (qiskit convention)."""
+        state = self.state_of(compiler)
+        probs = np.asarray(state.abs2(), dtype=np.float64)
+        probs = np.maximum(probs, 0)
+        probs /= probs.sum()
+        shots = shots or self.shots
+        n = compiler.full_circuit.num_qubits
+        draws = np.asarray(jax.random.categorical(
+            self._next_key(), jnp.log(jnp.asarray(probs) + 1e-30),
+            shape=(shots,)))
+        vals, cnts = np.unique(draws, return_counts=True)
+        return {format(int(v), f"0{n}b"): int(c) for v, c in zip(vals, cnts)}
+
+    def evaluate_global_cost(self, compiler):
+        if compiler.soften_global_cost:
+            raise NotImplementedError(
+                "soften_global_cost is currently only implemented for MPSBackend")
+        counts = self.counts(compiler)
+        n = compiler.full_circuit.num_qubits
+        zero = "0" * n
+        return 1.0 - counts.get(zero, 0) / sum(counts.values())
+
+    def evaluate_local_cost(self, compiler):
+        evals = self.measure_qubit_expectation_values(compiler)
+        return float(0.5 * (1 - np.mean(evals)))
+
+    def evaluate_circuit(self, compiler):
+        return self.counts(compiler)
+
+    def measure_qubit_expectation_values(self, compiler):
+        counts = self.counts(compiler)
+        n = compiler.full_circuit.num_qubits
+        evals = np.zeros(n)
+        total = sum(counts.values())
+        for bitstring, c in counts.items():
+            for q in range(n):
+                bit = bitstring[n - 1 - q]
+                evals[q] += (1 if bit == "0" else -1) * c
+        return list(evals / total)
+
+    def all_pair_rdms(self, state, pairs: np.ndarray):
+        # Tomography-equivalent: exact RDM + multinomial noise would need the
+        # full tomography protocol; shot-noise on the RDM is approximated by
+        # using the exact simulated RDM (the reference runs StateTomography
+        # on the same simulator).
+        return self._sv.all_pair_rdms(state, pairs)
+
+    def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
+        if state is None:
+            state = self.state_of(circuit_or_compiler)
+        return self._sv.two_qubit_rdm(None, q1, q2, state=state)
+
+
+def mps_backend_with_args(mps_truncation_threshold=DEFAULT_TRUNCATION_THRESHOLD,
+                          max_chi=None, **_ignored) -> MPSBackend:
+    """mps_sim_with_args analogue (aer_mps_backend.py:27-42)."""
+    return MPSBackend(mps_truncation_threshold, max_chi)
+
+
+# Default singletons (python_default_backends.py:17-19)
+SV_SIM = SVBackend()
+MPS_SIM = MPSBackend()
+QASM_SIM = SamplingBackend()

@@ -446,3 +446,53 @@ def sweep_engine(threshold: float):
     apply_gate, apply_adj = make_apply(threshold)
     return SweepEngine(f"mps[{threshold}]", apply_gate, apply_adj,
                        local_overlap_matrix, mps_dot)
+
+
+def batched_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs):
+    """<bra| A^{(t)} B^{(c)} |ket> for every (op k, Schmidt term m, pair p),
+    summed over terms m.
+
+    ops_a/ops_b: C (K, M, 2, 2) — A acts on site pairs[p, 1], B on
+    pairs[p, 0]; zero-padded terms contribute nothing. Returns C (K, P).
+    Used by the batched general_gradient pair scoring (utils/gradients.py,
+    replacing the reference's per-pair Aer re-simulation gradients.py:81-122).
+    """
+    chi = bra.chi
+    dt = bra.lam.dtype
+    bb = b_tensors(bra)
+    bk = b_tensors(ket)
+    k_n, m_n = ops_a.shape[0], ops_a.shape[1]
+    p_n = pairs.shape[0]
+
+    sites = jnp.arange(bra.n, dtype=jnp.int32)
+    eye = cplx.eye(2, dt)
+
+    def one_lane(flat_idx):
+        k_idx = flat_idx // (m_n * p_n)
+        rem = flat_idx % (m_n * p_n)
+        m_idx = rem // p_n
+        p_idx = rem % p_n
+        a_op = ops_a[k_idx, m_idx]
+        b_op = ops_b[k_idx, m_idx]
+        c_site = pairs[p_idx, 0]
+        t_site = pairs[p_idx, 1]
+
+        e0 = cplx.zeros((chi, chi), dt)
+        e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+
+        def site_step(e, x):
+            i, tb, tk = x
+            is_c = (i == c_site).astype(dt)
+            is_t = (i == t_site).astype(dt)
+            o = C(eye.re + is_c * (b_op.re - eye.re) + is_t * (a_op.re - eye.re),
+                  eye.im + is_c * (b_op.im - eye.im) + is_t * (a_op.im - eye.im))
+            e_new = cplx.einsum("qax,qp,ab,pby->xy", tb.conj(), o, e, tk)
+            return e_new, None
+
+        e, _ = lax.scan(site_step, e0, (sites, bb, bk))
+        return e[0, 0]
+
+    flat = jnp.arange(k_n * m_n * p_n)
+    vals = jax.vmap(one_lane)(flat)  # C (K*M*P,)
+    vals = vals.reshape(k_n, m_n, p_n)
+    return vals.sum(axis=1)

@@ -1,0 +1,63 @@
+"""AdaptConfig: ADAPT-AQC termination criteria and heuristic knobs.
+
+API mirror of /root/reference/adaptaqc/compilers/adapt/adapt_config.py:16-97.
+"""
+
+from ..utils import constants as vconstants
+
+
+class AdaptConfig:
+    def __init__(
+        self,
+        max_layers: int = int(1e5),
+        sufficient_cost=vconstants.DEFAULT_SUFFICIENT_COST,
+        max_2q_gates=1e4,
+        cost_improvement_num_layers=10,
+        cost_improvement_tol=1e-2,
+        max_layers_to_modify=100,
+        method="ISL",
+        bad_qubit_pair_memory=10,
+        reuse_exponent=0,
+        reuse_priority_mode="pair",
+        rotosolve_frequency=1,
+        rotoselect_tol=1e-5,
+        rotosolve_tol=1e-3,
+        entanglement_threshold=1e-8,
+    ):
+        """
+        ADAPT-AQC termination criteria.
+        :param max_layers: terminate when the ansatz reaches this many layers.
+        :param sufficient_cost: terminate when the cost falls below this.
+        :param max_2q_gates: terminate when this many 2q gates are used.
+        :param cost_improvement_num_layers: window for the stopped-improving test.
+        :param cost_improvement_tol: relative-slope tolerance for that test.
+        :param max_layers_to_modify: how many trailing layers Rotosolve touches.
+        :param method: pair-selection heuristic; one of ISL / expectation /
+            basic / random / general_gradient (arXiv:2503.09683) / brickwall.
+        :param bad_qubit_pair_memory: ISL bad-pair exclusion window.
+        :param reuse_exponent: strength of the not-recently-used priority.
+        :param reuse_priority_mode: 'pair' or 'qubit'.
+        :param rotosolve_frequency: run Rotosolve after every n layers.
+        :param rotoselect_tol / rotosolve_tol: per-cycle improvement tolerances.
+        :param entanglement_threshold: ISL treats entanglement below this as 0.
+        """
+        self.bad_qubit_pair_memory = bad_qubit_pair_memory
+        self.max_layers = max_layers
+        self.sufficient_cost = sufficient_cost
+        self.max_2q_gates = max_2q_gates
+        self.cost_improvement_tol = cost_improvement_tol
+        self.cost_improvement_num_layers = int(cost_improvement_num_layers)
+        self.max_layers_to_modify = max_layers_to_modify
+        self.method = method
+        self.rotosolve_frequency = rotosolve_frequency
+        self.rotoselect_tol = rotoselect_tol
+        self.rotosolve_tol = rotosolve_tol
+        self.entanglement_threshold = entanglement_threshold
+        self.reuse_exponent = reuse_exponent
+        self.reuse_priority_mode = reuse_priority_mode.lower()
+
+    def __repr__(self):
+        rep = f"{self.__class__.__name__}("
+        for k, v in self.__dict__.items():
+            rep += f"{k}={v!r}, "
+        return rep + ")"

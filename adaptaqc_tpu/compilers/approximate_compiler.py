@@ -1,0 +1,332 @@
+"""ApproximateCompiler: base class owning the full-circuit construction,
+backend plumbing, cost evaluation and solution extraction.
+
+API mirror of /root/reference/adaptaqc/compilers/approximate_compiler.py.
+The "full circuit" identity is the same as the reference's
+(:435-512): |0> -> [initial_state] -> [target U] -> (variational V^dag grows
+here) -> [initial_state^-1] -> [starting_circuit^-1]; the cost is the
+probability of returning to |0...0>.
+
+TPU inversion: the target prefix is simulated ONCE into an on-device engine
+state (statevector or MPS) and cached; every cost query just applies the
+variational tape to it (cf. the reference re-simulating the whole circuit in
+Aer per query, :514-527 -> aer_sv_backend.py:37-47).
+"""
+
+from __future__ import annotations
+
+import logging
+import timeit
+from abc import ABC, abstractmethod
+from typing import Optional
+
+import numpy as np
+
+from ..backends import mps_core
+from ..backends.backend import (AQCBackend, MPSBackend, SamplingBackend,
+                                SVBackend, QASM_SIM)
+from ..circuits import operations as co
+from ..circuits.circuit import Circuit, unroll_to_basis_gates
+from ..circuits.division import vertically_divide_circuit
+from ..circuits.tape import compile_tape
+from ..ops import cplx
+from ..optim.minimiser import CostMinimiser
+
+logger = logging.getLogger(__name__)
+
+
+class CompileInPartsResult:
+    def __init__(self, circuit, overlap, individual_results, time_taken):
+        """
+        :param circuit: Resulting circuit.
+        :param overlap: 1 - final_global_cost.
+        :param individual_results: Result objects of each sub-compilation.
+        :param time_taken: Total time taken.
+        """
+        self.circuit = circuit
+        self.overlap = overlap
+        self.individual_results = individual_results
+        self.time_taken = time_taken
+
+
+def is_statevector_backend(backend) -> bool:
+    return isinstance(backend, SVBackend)
+
+
+class ApproximateCompiler(ABC):
+    """Variational compiler base (approximate_compiler.py:64)."""
+
+    def __init__(self, target, backend: AQCBackend, execute_kwargs=None,
+                 initial_state=None, qubit_subset=None,
+                 general_initial_state=False, starting_circuit=None,
+                 optimise_local_cost=False, soften_global_cost=False,
+                 rotosolve_fraction=1.0, **_compat_kwargs):
+        self.target = target
+        self.original_circuit_classical_ops = None
+        self.backend = backend if backend is not None else QASM_SIM
+        self.is_statevector_backend = is_statevector_backend(self.backend)
+        self.is_aer_mps_backend = isinstance(self.backend, MPSBackend)
+        self.is_mps_backend = self.is_aer_mps_backend
+        if mps_core.check_mps(self.target) and not self.is_mps_backend:
+            raise Exception("MPS backend must be used when target is an MPS")
+        self.circuit_to_compile = self.prepare_circuit()
+        self.execute_kwargs = self.parse_default_execute_kwargs(execute_kwargs)
+        self.backend_options = {}
+        self.initial_state_circuit = co.initial_state_to_circuit(initial_state)
+        self.total_num_qubits = self.calculate_total_num_qubits()
+        self.qubit_subset_to_compile = (
+            qubit_subset if qubit_subset else list(range(self.total_num_qubits)))
+        self.general_initial_state = general_initial_state
+        self.starting_circuit = self.prepare_starting_circuit(starting_circuit)
+        self.optimise_local_cost = optimise_local_cost
+        self.soften_global_cost = soften_global_cost
+
+        if initial_state is not None and general_initial_state:
+            raise ValueError("Can't compile for general initial state when "
+                             "specific initial state is provided")
+
+        (self.full_circuit, self.lhs_gate_count,
+         self.rhs_gate_count) = self._prepare_full_circuit()
+
+        if 0 < rotosolve_fraction <= 1:
+            self.minimizer = CostMinimiser(self.evaluate_cost,
+                                           self.variational_circuit_range,
+                                           self, rotosolve_fraction)
+        else:
+            raise ValueError("rotosolve_fraction must be in the range (0,1]")
+
+        self.cost_evaluation_counter = 0
+        self.compiling_finished = False
+        self._prefix_cache = None   # (lhs_count, engine state)
+        self._current_cache = None
+
+    # --------------------------------------------------------- construction
+    def prepare_circuit(self) -> Circuit:
+        """Target -> circuit to compile (approximate_compiler.py:165-217)."""
+        if mps_core.check_mps(self.target):
+            if isinstance(self.target, mps_core.MPS):
+                n = self.target.n
+            else:
+                n = len(self.target[0])
+            qc = Circuit(n)
+            qc.set_mps(self.target)
+            return qc
+        target_copy = self.target.copy()
+        self.original_circuit_classical_ops = co.remove_classical_operations(
+            target_copy)
+        prepared = unroll_to_basis_gates(target_copy)
+        if self.is_mps_backend:
+            logger.info("Pre-computing target circuit as MPS on device")
+            target_mps = self.backend.mps_from_compiler_target(prepared)
+            qc = Circuit(prepared.num_qubits)
+            qc.set_mps(target_mps)
+            return qc
+        return prepared
+
+    def prepare_starting_circuit(self, starting_circuit):
+        """approximate_compiler.py:219-246; 'tenpy_product_state' is replaced
+        by an on-device chi=1 variational compression of the target MPS."""
+        if starting_circuit is None or isinstance(starting_circuit, Circuit):
+            return starting_circuit
+        if starting_circuit in ("tenpy_product_state", "product_state"):
+            from ..utils.compression import best_product_state_circuit
+            return best_product_state_circuit(self)
+        raise ValueError("starting_circuit must be a Circuit, None, or the "
+                         "string 'tenpy_product_state'")
+
+    def parse_default_execute_kwargs(self, execute_kwargs):
+        kwargs = {} if execute_kwargs is None else dict(execute_kwargs)
+        if "shots" not in kwargs:
+            kwargs["shots"] = 8192 if isinstance(self.backend, SamplingBackend) else 1
+        if "optimization_level" not in kwargs:
+            kwargs["optimization_level"] = 0
+        if isinstance(self.backend, SamplingBackend):
+            self.backend.shots = kwargs["shots"]
+        return kwargs
+
+    def calculate_total_num_qubits(self):
+        if self.initial_state_circuit is None:
+            return self.circuit_to_compile.num_qubits
+        return self.initial_state_circuit.num_qubits
+
+    def _prepare_full_circuit(self):
+        """approximate_compiler.py:435-512."""
+        total_qubits = (2 * self.total_num_qubits if self.general_initial_state
+                        else self.total_num_qubits)
+        qc = Circuit(total_qubits)
+
+        if self.initial_state_circuit is not None:
+            co.add_to_circuit(qc, unroll_to_basis_gates(self.initial_state_circuit))
+        elif self.general_initial_state:
+            for qubit in range(self.total_num_qubits):
+                qc.h(qubit)
+                qc.cx(qubit, qubit + self.total_num_qubits)
+
+        co.add_to_circuit(qc, self.circuit_to_compile,
+                          qubit_subset=self.qubit_subset_to_compile)
+        lhs_gate_count = len(qc.data)
+
+        if self.initial_state_circuit is not None:
+            isc = unroll_to_basis_gates(self.initial_state_circuit)
+            co.add_to_circuit(qc, isc.inverse())
+        if self.starting_circuit is not None:
+            co.add_to_circuit(qc, self.starting_circuit.inverse())
+        elif self.general_initial_state:
+            for qubit in range(self.total_num_qubits - 1, -1, -1):
+                qc.cx(qubit, qubit + self.total_num_qubits)
+                qc.h(qubit)
+
+        if isinstance(self.backend, SamplingBackend):
+            qc.num_clbits = 1 if self.optimise_local_cost else total_qubits
+            # measures are implicit: the sampling backend samples the final
+            # state directly (the reference appends measure gates here,
+            # :502-508; our IR leaves them out of the simulated tape anyway)
+
+        rhs_gate_count = len(qc.data) - lhs_gate_count
+        return qc, lhs_gate_count, rhs_gate_count
+
+    # ------------------------------------------------------- state plumbing
+    def _prefix_state(self):
+        """Engine state after full_circuit.data[:lhs_gate_count], cached."""
+        if self._prefix_cache is not None and \
+                self._prefix_cache[0] == self.lhs_gate_count:
+            return self._prefix_cache[1]
+        qc = self.full_circuit
+        n = qc.num_qubits
+        state = self.backend.initial_state(qc, n)
+        start = 1 if (qc.data and qc.data[0].name in
+                      ("set_mps", "set_statevector")) else 0
+        if self.lhs_gate_count > start:
+            tape = compile_tape(qc, (start, self.lhs_gate_count))
+            state = self.backend.run_tape(state, tape)
+        self._prefix_cache = (self.lhs_gate_count, state)
+        return state
+
+    def _invalidate_prefix(self):
+        self._prefix_cache = None
+        self._current_cache = None
+
+    def _invalidate_current(self):
+        self._current_cache = None
+
+    def _current_state(self):
+        """Engine state of the whole full_circuit, cached until mutation."""
+        if self._current_cache is not None:
+            return self._current_cache
+        state = self._prefix_state()
+        rng = (self.lhs_gate_count, len(self.full_circuit.data))
+        if rng[1] > rng[0]:
+            tape = compile_tape(self.full_circuit, rng)
+            state = self.backend.run_tape(state, tape)
+        self._current_cache = state
+        return state
+
+    # ------------------------------------------------------------ cost layer
+    def variational_circuit_range(self, circuit=None):
+        if circuit is None:
+            circuit = self.full_circuit
+        return self.lhs_gate_count, len(circuit.data) - self.rhs_gate_count
+
+    def ansatz_range(self):
+        return self.lhs_gate_count, len(self.full_circuit.data)
+
+    def _starting_circuit_range(self):
+        end = len(self.full_circuit.data)
+        return end - self.rhs_gate_count, end
+
+    def evaluate_cost(self):
+        """approximate_compiler.py:514-527."""
+        self.cost_evaluation_counter += 1
+        if self.optimise_local_cost:
+            return self.backend.evaluate_local_cost(self)
+        return self.backend.evaluate_global_cost(self)
+
+    @abstractmethod
+    def compile(self):
+        raise NotImplementedError(
+            "A compiler must provide implementation for the compile() method")
+
+    # --------------------------------------------------------------- results
+    def get_compiled_circuit(self) -> Circuit:
+        """Invert the optimised ansatz, prepend starting_circuit, restore
+        classical ops (approximate_compiler.py:385-433)."""
+        compiled = co.circuit_by_inverting_circuit(
+            co.extract_inner_circuit(self.full_circuit,
+                                     self.variational_circuit_range()))
+        if self.starting_circuit is not None:
+            co.add_to_circuit(compiled, self.starting_circuit, 0)
+        final = Circuit(self.circuit_to_compile.num_qubits,
+                        self.circuit_to_compile.num_clbits)
+        qubit_map = {full: sub for sub, full in
+                     enumerate(self.qubit_subset_to_compile)}
+        co.add_to_circuit(final, compiled, qubit_subset=qubit_map)
+        if self.original_circuit_classical_ops is not None:
+            co.add_classical_operations(final, self.original_circuit_classical_ops)
+        return final
+
+    def compile_in_parts(self, max_depth_per_block=10) -> CompileInPartsResult:
+        """Ladder compilation (approximate_compiler.py:321-383)."""
+        logger.info("Started partial recompilation")
+        start_time = timeit.default_timer()
+        all_subcircuits = vertically_divide_circuit(
+            self.circuit_to_compile.copy(), max_depth_per_block)
+        logger.info(f"Circuit was split into {len(all_subcircuits)} parts to "
+                    "compile sequentially")
+
+        last_compiled = None
+        individual_results = []
+        for i, subcircuit in enumerate(all_subcircuits):
+            co.replace_inner_circuit(self.full_circuit, last_compiled,
+                                     self.variational_circuit_range())
+            co.add_to_circuit(self.full_circuit, subcircuit,
+                              self.variational_circuit_range()[1])
+            self._invalidate_prefix()
+            result = self.compile()
+            last_compiled = result.circuit
+            result.circuit = None
+            individual_results.append(result)
+            logger.info(f"Completed {100 * (i + 1) / len(all_subcircuits)}% "
+                        "of recompilation")
+
+        end_time = timeit.default_timer()
+        return CompileInPartsResult(
+            circuit=last_compiled,
+            overlap=calculate_overlap_between_circuits(
+                last_compiled, self.circuit_to_compile,
+                self.initial_state_circuit, self.qubit_subset_to_compile),
+            individual_results=individual_results,
+            time_taken=end_time - start_time)
+
+
+def calculate_overlap_between_circuits(circuit1: Circuit, circuit2: Circuit,
+                                       initial_state=None, qubit_subset=None):
+    """|<psi1|psi2>|^2 via exact dense simulation (full_circuit.py:413-438)."""
+    initial_state_circuit = co.initial_state_to_circuit(initial_state)
+    if initial_state_circuit is None:
+        total = circuit1.num_qubits
+    else:
+        total = initial_state_circuit.num_qubits
+    subset = qubit_subset if qubit_subset else list(range(total))
+
+    from ..backends import sv_core
+
+    def run(circ):
+        qc = Circuit(total)
+        if initial_state_circuit is not None:
+            co.add_to_circuit(qc, initial_state_circuit)
+        co.add_to_circuit(qc, co.make_quantum_only_circuit(circ),
+                          qubit_subset=subset)
+        if qc.data and qc.data[0].name == "set_statevector":
+            state = sv_core.state_from_vector(qc.data[0].payload)
+            start = 1
+        else:
+            state = sv_core.zero_state(total)
+            start = 0
+        tape = compile_tape(qc, (start, len(qc.data)))
+        return sv_core.apply_tape(state, *(np.asarray(x) for x in
+                                           (tape.kinds, tape.q0, tape.q1,
+                                            tape.angles)))
+
+    s1 = cplx.to_np(run(circuit1))
+    s2 = cplx.to_np(run(circuit2))
+    return float(np.absolute(np.vdot(s1, s2)) ** 2)

@@ -1,0 +1,370 @@
+"""CostMinimiser: angle optimisation over the variational range.
+
+API mirror of /root/reference/adaptaqc/utils/cost_minimiser.py. The
+Rotosolve/Rotoselect path dispatches to the on-device O(G) sweep
+(optim/sweeps.py) when the backend supports it; parameterised-gate circuits
+('#'/'@' labels), local-cost and softened-cost optimisation fall back to a
+host loop that reproduces the reference's per-gate 3-point probing against
+`evaluate_cost` (each probe = one device call).
+
+Generic optimisers: scipy is first-class; nlopt / pybobyqa are used when
+installed and otherwise fall back to scipy equivalents with a warning (they
+are not available in this environment).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from ..circuits import gates as G
+from ..circuits import operations as co
+from ..circuits.tape import compile_tape, select_mask, writeback_angles
+from ..utils import constants as vconstants
+from .sinusoidal import (derivative_of_sinusoidal, has_stopped_improving,
+                         minimum_of_sinusoidal)
+from . import sweeps
+
+logger = logging.getLogger(__name__)
+
+
+class CostMinimiser:
+    """Minimizer that minimizes a cost function (cost_minimiser.py:32)."""
+
+    def __init__(self, cost_finder, variational_circuit_range, compiler,
+                 rotosolve_fraction=1.0):
+        self.cost_finder = cost_finder
+        self.variational_circuit_range = variational_circuit_range
+        self.compiler = compiler
+        self.rotosolve_fraction = rotosolve_fraction
+
+    @property
+    def full_circuit(self):
+        return self.compiler.full_circuit
+
+    # ------------------------------------------------------------- dispatch
+    def minimize_cost(self, algorithm_kind=vconstants.ALG_ROTOSOLVE,
+                      algorithm_identifier=None, max_cycles=1000,
+                      stop_val=-np.inf, tol=1e-10, indexes_to_modify=None,
+                      alg_kwargs=None):
+        if alg_kwargs is None:
+            alg_kwargs = {}
+        if algorithm_kind in (vconstants.ALG_ROTOSOLVE, vconstants.ALG_ROTOSELECT):
+            rotoselect = algorithm_kind == vconstants.ALG_ROTOSELECT
+            if self._can_fast_sweep():
+                return self._roto_device(rotoselect, max_cycles, stop_val, tol,
+                                         indexes_to_modify)
+            return self._roto_host(rotoselect, max_cycles, stop_val, tol,
+                                   indexes_to_modify)
+        elif algorithm_kind == vconstants.ALG_SCIPY:
+            return self._scipy_minimize(algorithm_identifier, tol, alg_kwargs)
+        elif algorithm_kind == vconstants.ALG_NLOPT:
+            return self._nlopt_minimize(algorithm_identifier, stop_val, tol)
+        elif algorithm_kind == vconstants.ALG_PYBOBYQA:
+            return self._pybobyqa_minimize(alg_kwargs)
+        raise ValueError(f"Invalid algorithm kind {algorithm_kind}")
+
+    # ------------------------------------------------------ device fast path
+    def _can_fast_sweep(self) -> bool:
+        comp = self.compiler
+        if comp.optimise_local_cost or comp.soften_global_cost:
+            return False
+        if comp.backend.sweep_engine() is None:
+            return False
+        rng = self.variational_circuit_range()
+        for i in range(rng[0], len(self.full_circuit.data)):
+            lbl = self.full_circuit.data[i].label
+            if lbl is not None and ("#" in lbl or "@" in lbl):
+                return False
+        return True
+
+    def _roto_device(self, rotoselect, max_cycles, stop_val, tol,
+                     indexes_to_modify):
+        comp = self.compiler
+        alg_name = "ROTOSELECT" if rotoselect else "ROTOSOLVE"
+        var_range = self.variational_circuit_range()
+        if indexes_to_modify is None:
+            indexes_to_modify = var_range
+        else:
+            indexes_to_modify = (max(indexes_to_modify[0], var_range[0]),
+                                 min(indexes_to_modify[1], var_range[1]))
+
+        # tape covers variational range + fixed rhs gates (suffix)
+        tape_range = (var_range[0], len(self.full_circuit.data))
+        tape = compile_tape(self.full_circuit, tape_range)
+        base_indices = [i - tape_range[0]
+                        for i in range(*indexes_to_modify)]
+        full_mask = select_mask(tape, base_indices)
+
+        prefix = comp._prefix_state()
+        ref = comp.backend.zero_ref(comp)
+        engine = comp.backend.sweep_engine()
+        bl = sweeps.default_block_len(tape.padded_length)
+
+        kinds = jnp.asarray(tape.kinds)
+        angles = jnp.asarray(tape.angles)
+        q0 = jnp.asarray(tape.q0)
+        q1 = jnp.asarray(tape.q1)
+
+        cost = self.cost_finder()
+        cycles = 0
+        cost_history = []
+        logger.info(f"Starting {alg_name}")
+        while cost > stop_val and cycles < max_cycles:
+            mask = self._cycle_mask(tape, full_mask, base_indices, rotoselect)
+            kinds, angles, cost_dev, _, evals = sweeps.sweep(
+                engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
+                jnp.asarray(mask))
+            comp.cost_evaluation_counter += int(evals)
+            cost = float(cost_dev)
+            cycles += 1
+            logger.info(f"{alg_name} cycle: {cycles}")
+            cost_history.append(cost)
+            if len(cost_history) > 3 and has_stopped_improving(
+                    cost_history[-3:], tol):
+                break
+        writeback_angles(self.full_circuit, tape_range, tape,
+                         np.asarray(kinds), np.asarray(angles))
+        comp._invalidate_current()
+        logger.info(f"{alg_name} finished with cost {cost}")
+        return cost
+
+    def _cycle_mask(self, tape, full_mask, base_indices, rotoselect):
+        """Per-cycle rotosolve_fraction subsampling (cost_minimiser.py:293-302)."""
+        if self.rotosolve_fraction >= 1.0 or rotoselect:
+            return full_mask
+        rotation_local = [i for i in base_indices
+                          if tape.data_index_map[i][1] == 1
+                          and tape.trainable[tape.data_index_map[i][0]]]
+        num = int(np.ceil(self.rotosolve_fraction * len(rotation_local)))
+        sample = random.sample(rotation_local, num)
+        return select_mask(tape, sorted(sample))
+
+    # ------------------------------------------------------- host slow path
+    def _roto_host(self, rotoselect, max_cycles, stop_val, tol,
+                   indexes_to_modify):
+        alg_name = "ROTOSELECT" if rotoselect else "ROTOSOLVE"
+        cost_history = []
+        cost = self.cost_finder()
+        cycles = 0
+        logger.info(f"Starting {alg_name} (host loop)")
+        while cost > stop_val and cycles < max_cycles:
+            cost = self._reduce_cost(rotoselect, indexes_to_modify)
+            cycles += 1
+            cost_history.append(cost)
+            if len(cost_history) > 3 and has_stopped_improving(
+                    cost_history[-3:], tol):
+                break
+        logger.info(f"{alg_name} finished with cost {cost}")
+        return cost
+
+    def _reduce_cost(self, change_1q_gate_kind=False,
+                     indexes_to_modify: Optional[Tuple[int, int]] = None):
+        """Per-gate coordinate descent with full cost evaluations
+        (cost_minimiser.py:267-316)."""
+        cost = 1
+        var_range = self.variational_circuit_range()
+        if indexes_to_modify is None:
+            indexes_to_modify = var_range
+        else:
+            indexes_to_modify = (max(indexes_to_modify[0], var_range[0]),
+                                 min(indexes_to_modify[1], var_range[1]))
+
+        if self.rotosolve_fraction < 1.0 and not change_1q_gate_kind:
+            idx_list = co.find_rotation_indices(
+                self.full_circuit, list(range(*indexes_to_modify)))
+            num = int(np.ceil(self.rotosolve_fraction * len(idx_list)))
+            sample = sorted(random.sample(idx_list, num))
+        else:
+            sample = list(range(*indexes_to_modify))
+
+        for index in sample:
+            instr = self.full_circuit.data[index]
+            if change_1q_gate_kind and instr.is_supported_1q_gate():
+                cost = self.replace_with_best_1q_gate(index)
+            elif instr.is_supported_1q_gate():
+                angle, cost = self.find_best_angle(index, instr.base_label
+                                                   if instr.label is None or
+                                                   "#" not in instr.label
+                                                   else instr.label)
+                co.replace_1q_gate(self.full_circuit, index,
+                                   instr.label or instr.name, angle)
+                self.compiler._invalidate_current()
+            else:
+                continue
+        return cost
+
+    def replace_with_best_1q_gate(self, gate_index):
+        """cost_minimiser.py:318-342."""
+        co.replace_1q_gate(self.full_circuit, gate_index, "rx", 0)
+        self.compiler._invalidate_current()
+        cost_identity = self.cost_finder()
+        best_name, best_angle, best_cost = None, None, 1
+        for gate_name in ("rx", "ry", "rz"):
+            angle, cost = self.find_best_angle(gate_index, gate_name,
+                                               cost_identity)
+            if cost < best_cost:
+                best_name, best_angle, best_cost = gate_name, angle, cost
+        co.replace_1q_gate(self.full_circuit, gate_index, best_name, best_angle)
+        self.compiler._invalidate_current()
+        return best_cost
+
+    def find_best_angle(self, gate_index, gate_name, cost_for_identity=None):
+        """3-point sinusoidal probe (cost_minimiser.py:344-368)."""
+        original = self.full_circuit.data[gate_index]
+        costs = []
+        angles_to_run = [0, np.pi / 2, -np.pi / 2]
+        if cost_for_identity is not None:
+            costs.append(cost_for_identity)
+            angles_to_run.remove(0)
+        for theta in angles_to_run:
+            co.replace_1q_gate(self.full_circuit, gate_index, gate_name, theta)
+            self.compiler._invalidate_current()
+            costs.append(self.cost_finder())
+        theta_min, cost_min = minimum_of_sinusoidal(*costs)
+        self.full_circuit.data[gate_index] = original
+        self.compiler._invalidate_current()
+        return theta_min, cost_min
+
+    # ----------------------------------------------------- generic optimisers
+    def _find_cost_with_angles(self, angles, grad=None):
+        co.update_angles_in_circuit(self.full_circuit, angles,
+                                    self.variational_circuit_range())
+        self.compiler._invalidate_current()
+        if grad is not None and np.size(grad) > 0:
+            self._update_gradient_of_circuit(grad)
+        return self.cost_finder()
+
+    def _scipy_minimize(self, method, tol, alg_kwargs):
+        initial = co.find_angles_in_circuit(self.full_circuit,
+                                            self.variational_circuit_range())
+        if len(initial) == 0:
+            return self.cost_finder()
+        result = minimize(fun=self._find_cost_with_angles, method=method,
+                          x0=initial, tol=tol, **alg_kwargs)
+        co.update_angles_in_circuit(self.full_circuit, result["x"],
+                                    self.variational_circuit_range())
+        self.compiler._invalidate_current()
+        return result["fun"]
+
+    def _nlopt_minimize(self, algorithm_identifier, stop_val, tol):
+        try:
+            import nlopt
+        except ModuleNotFoundError:
+            logger.warning("NLOPT not installed; falling back to scipy COBYLA")
+            return self._scipy_minimize("COBYLA", tol, {})
+        initial = co.find_angles_in_circuit(self.full_circuit,
+                                            self.variational_circuit_range())
+        if len(initial) == 0:
+            return self.cost_finder()
+        opt = nlopt.opt(algorithm_identifier, len(initial))
+        opt.set_upper_bounds([np.pi] * len(initial))
+        opt.set_lower_bounds([-np.pi] * len(initial))
+        opt.set_stopval(stop_val)
+        opt.set_ftol_rel(tol)
+        opt.set_xtol_abs(1e-10)
+        opt.set_min_objective(self._find_cost_with_angles)
+        final = opt.optimize(initial)
+        co.update_angles_in_circuit(self.full_circuit, final,
+                                    self.variational_circuit_range())
+        self.compiler._invalidate_current()
+        return opt.last_optimum_value()
+
+    def _pybobyqa_minimize(self, alg_kwargs):
+        initial = co.find_angles_in_circuit(self.full_circuit,
+                                            self.variational_circuit_range())
+        if len(initial) == 0:
+            return self.cost_finder()
+        try:
+            import pybobyqa
+        except ModuleNotFoundError:
+            logger.warning("PyBOBYQA not installed; falling back to scipy Powell")
+            alg_kwargs = {k: v for k, v in alg_kwargs.items()
+                          if k not in ("seek_global_minimum",)}
+            return self._scipy_minimize("Powell", 1e-8, alg_kwargs)
+        bounds = ([-np.pi] * len(initial), [np.pi] * len(initial))
+        try:
+            result = pybobyqa.solve(self._find_cost_with_angles, initial,
+                                    bounds=bounds, objfun_has_noise=True,
+                                    print_progress=False, do_logging=False,
+                                    **alg_kwargs)
+            co.update_angles_in_circuit(self.full_circuit, result.x,
+                                        self.variational_circuit_range())
+            self.compiler._invalidate_current()
+            return result.f
+        except Exception as e:  # restore-and-report (cost_minimiser.py:188-193)
+            logger.error(f"BOBYQA failed with exception: {e}")
+            co.update_angles_in_circuit(self.full_circuit, initial,
+                                        self.variational_circuit_range())
+            self.compiler._invalidate_current()
+            return self.cost_finder()
+
+    # --------------------------------------------------- local-minimum escape
+    def try_escaping_periodic_local_minimum(self, gap_between_minima,
+                                            first_minima_loc, penalty_amp=0.1):
+        """Sinusoidal-penalty escape (cost_minimiser.py:197-248)."""
+        initial_cost = self.cost_finder()
+        initial_angles = co.find_angles_in_circuit(
+            self.full_circuit, self.variational_circuit_range())
+        num_attempts = 5
+        stochastic_param = 1
+
+        def cost_with_penalty(angles, grad=None):
+            cost = self._find_cost_with_angles(angles, grad)
+            penalty = penalty_amp * np.cos(
+                np.pi + ((cost - first_minima_loc) * 2 * np.pi
+                         * (1 / gap_between_minima) * stochastic_param))
+            return cost + penalty
+
+        actual_cost = initial_cost
+        for i in range(num_attempts):
+            res = minimize(cost_with_penalty, initial_angles, method="Nelder-Mead")
+            co.update_angles_in_circuit(self.full_circuit, res.x,
+                                        self.variational_circuit_range())
+            self.compiler._invalidate_current()
+            actual_cost = self.cost_finder()
+            logging.debug(f"{i}th attempt to escape minima: initial cost = "
+                          f"{initial_cost}, final cost with penalty = {res.fun}, "
+                          f"actual final cost = {actual_cost}")
+            stochastic_param = np.random.random() * 10
+            if actual_cost < initial_cost:
+                break
+        return actual_cost
+
+    def _update_gradient_of_circuit(self, grad, method="parameter_shift"):
+        """Parameter-shift gradient (cost_minimiser.py:370-418)."""
+        angles = co.find_angles_in_circuit(self.full_circuit)
+        angle_index = 0
+        for gate_index in range(*self.variational_circuit_range()):
+            instr = self.full_circuit.data[gate_index]
+            if not instr.is_supported_1q_gate():
+                continue
+            label = instr.label or instr.name
+            current = angles[angle_index]
+            if method == "parameter_shift":
+                r = 0.5
+                shift = np.pi / (4 * r)
+                co.replace_1q_gate(self.full_circuit, gate_index, label,
+                                   current + shift)
+                self.compiler._invalidate_current()
+                vp = self.cost_finder()
+                co.replace_1q_gate(self.full_circuit, gate_index, label,
+                                   current - shift)
+                self.compiler._invalidate_current()
+                vm = self.cost_finder()
+                grad[angle_index] = r * (vp - vm)
+            else:
+                vals = []
+                for theta in (0, np.pi / 2, -np.pi / 2):
+                    co.replace_1q_gate(self.full_circuit, gate_index, label, theta)
+                    self.compiler._invalidate_current()
+                    vals.append(self.cost_finder())
+                grad[angle_index] = derivative_of_sinusoidal(current, *vals)
+            co.replace_1q_gate(self.full_circuit, gate_index, label, current)
+            self.compiler._invalidate_current()
+            angle_index += 1

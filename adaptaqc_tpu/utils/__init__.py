@@ -1,0 +1,1 @@
+from . import ansatzes, constants, entanglement_measures, hamiltonians
