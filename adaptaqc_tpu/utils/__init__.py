@@ -1,1 +1,2 @@
-from . import ansatzes, constants, entanglement_measures, hamiltonians
+from . import (ansatzes, constants, entanglement_measures, fixed_ansatz_circuits,
+               gate_tomography, hamiltonians)

@@ -1,0 +1,185 @@
+"""White-box and feature tests mirroring the reference's test strategy
+(SURVEY.md section 4, items 2 and 6): checkpoint/resume equality, absorption
+bookkeeping, reuse priorities, compile-in-parts, rotosolve_fraction."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adaptaqc_tpu import (AdaptCompiler, AdaptConfig, MPSBackend, SVBackend,
+                          Circuit)
+from adaptaqc_tpu.circuits import operations as co
+
+from reference_sim import simulate
+from test_sv_core import random_circuit
+
+SUFFICIENT = 1e-2
+
+
+def target(n=3, seed=0, depth=12):
+    rng = np.random.default_rng(seed)
+    return random_circuit(n, depth, rng)
+
+
+def test_checkpoint_and_resume(tmp_path):
+    """Resume from a pickle checkpoint reproduces a successful compile
+    (reference TestAdaptCheckpointing, test_adapt_compiler.py:1076-1340)."""
+    import pickle
+    qc = target(3, seed=21)
+    ckpt_dir = str(tmp_path / "ckpt")
+    compiler = AdaptCompiler(qc, adapt_config=AdaptConfig(max_layers=2))
+    # run 2 layers with checkpointing every layer
+    result1 = compiler.compile(checkpoint_every=1, checkpoint_dir=ckpt_dir)
+    files = sorted(os.listdir(ckpt_dir))
+    assert len(files) >= 1
+    # resume from the first checkpoint and continue to convergence
+    with open(os.path.join(ckpt_dir, files[0]), "rb") as f:
+        resumed = pickle.load(f)
+    resumed.adapt_config.max_layers = 100
+    result2 = resumed.compile()
+    assert result2.overlap > 1 - SUFFICIENT
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result2.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 3 * SUFFICIENT
+
+
+def test_checkpoint_delete_prev(tmp_path):
+    qc = target(3, seed=22)
+    ckpt_dir = str(tmp_path / "ckpt2")
+    compiler = AdaptCompiler(qc, adapt_config=AdaptConfig(max_layers=3))
+    compiler.compile(checkpoint_every=1, checkpoint_dir=ckpt_dir,
+                     delete_prev_chkpt=True)
+    # deletion policy keeps only the trailing checkpoints
+    files = [f for f in os.listdir(ckpt_dir) if f.endswith(".pkl")]
+    assert len(files) <= 2
+
+
+def test_compile_in_parts():
+    """Ladder compilation (approximate_compiler.py:321-383)."""
+    rng = np.random.default_rng(23)
+    qc = random_circuit(3, 14, rng)
+    compiler = AdaptCompiler(qc)
+    result = compiler.compile_in_parts(max_depth_per_block=5)
+    assert result.overlap > 1 - 5e-2
+    assert len(result.individual_results) >= 2
+
+
+def test_mps_absorption_bookkeeping():
+    """With rotosolve_frequency=2 and max_layers_to_modify=2, finalised
+    layers must be absorbed into the MPS prefix while the returned solution
+    still contains every layer (adapt_compiler.py:662-706; reference
+    white-box test test_adapt_compiler.py:673-718)."""
+    qc = target(3, seed=24)
+    config = AdaptConfig(rotosolve_frequency=2, max_layers_to_modify=2,
+                         max_layers=30)
+    compiler = AdaptCompiler(qc, backend=MPSBackend(), adapt_config=config)
+    result = compiler.compile()
+    assert result.overlap > 1 - SUFFICIENT
+    # layers_saved_to_mps holds the absorbed gates; solution has all layers
+    n_layers = len([p for p in result.qubit_pair_history if p[0] is not None])
+    assert result.num_2q_gates >= 1
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 3 * SUFFICIENT
+
+
+def test_reuse_priorities():
+    """Priority values follow the exponential disfavouring rules
+    (adapt_compiler.py:1006-1065; reference :549-600)."""
+    qc = target(4, seed=25)
+    compiler = AdaptCompiler(
+        qc, adapt_config=AdaptConfig(reuse_exponent=1, method="basic"))
+    compiler.qubit_pair_history = [(0, 1), (2, 3)]
+    # last pair gets -1
+    assert compiler._get_pair_reuse_priority((2, 3), 1) == -1
+    # never-used pair gets 1
+    assert compiler._get_pair_reuse_priority((0, 2), 1) == 1
+    # pair one step back: 1 - 2^{-1}
+    assert abs(compiler._get_pair_reuse_priority((0, 1), 1) - 0.5) < 1e-12
+    # qubit mode: min over qubits — qubit 2 was in the last pair (loc 0):
+    # min(1-2^-2, 1-2^-1) = 0.5
+    assert abs(compiler._get_qubit_reuse_priority((0, 2), 1) - 0.5) < 1e-12
+    # k=0 disables (non-last pair)
+    assert compiler._get_pair_reuse_priority((0, 1), 0) == 1
+
+
+def test_rotosolve_fraction():
+    """rotosolve_fraction subsamples gates per cycle
+    (cost_minimiser.py:293-302; reference :1343-1386)."""
+    import random as pyrandom
+    pyrandom.seed(7)
+    qc = target(3, seed=26)
+    compiler = AdaptCompiler(qc, rotosolve_fraction=0.5)
+    result = compiler.compile()
+    assert result.overlap > 1 - 5e-2
+
+
+def test_frozen_initial_ansatz_parameters():
+    """Parameters of an optimise-disabled initial ansatz stay bit-identical
+    (test_adapt_compiler.py:1223-1290 analogue)."""
+    qc = target(3, seed=27)
+    ansatz = Circuit(3)
+    ansatz.ry(0.123, 0)
+    ansatz.ry(0.456, 1)
+    ansatz.cx(0, 1)
+    compiler = AdaptCompiler(qc)
+    compiler.compile(initial_ansatz=ansatz, optimise_initial_ansatz=False)
+    rng0 = compiler.original_lhs_gate_count
+    frozen = compiler.full_circuit.data[rng0:rng0 + 3]
+    # inverted ansatz gates: ry(-0.456), ry(-0.123) order reversed, cx
+    vals = sorted(i.params[0] for i in frozen if i.params)
+    assert any(abs(v + 0.456) < 1e-12 for v in vals)
+    assert any(abs(v + 0.123) < 1e-12 for v in vals)
+
+
+def test_max_2q_gates_termination():
+    qc = target(3, seed=28)
+    config = AdaptConfig(max_2q_gates=3, sufficient_cost=1e-12)
+    compiler = AdaptCompiler(qc, adapt_config=config)
+    result = compiler.compile()
+    assert compiler.compiling_finished
+
+
+def test_stopped_improving_termination():
+    qc = target(3, seed=29)
+    config = AdaptConfig(cost_improvement_num_layers=3, cost_improvement_tol=10.0,
+                         sufficient_cost=1e-12, max_layers=50)
+    compiler = AdaptCompiler(qc, adapt_config=config)
+    result = compiler.compile()
+    # with an absurd tolerance, loop must bail out early
+    assert len(result.qubit_pair_history) <= 5
+
+
+def test_product_state_starting_circuit():
+    """starting_circuit='tenpy_product_state' (chi=1 compression) path."""
+    n = 4
+    qc = Circuit(n)
+    qc.ry(0.4, 0)
+    qc.ry(1.1, 1)
+    qc.ry(-0.6, 2)
+    qc.ry(2.2, 3)
+    qc.cx(0, 1)
+    compiler = AdaptCompiler(qc, backend=MPSBackend(),
+                             starting_circuit="tenpy_product_state")
+    assert compiler.starting_circuit is not None
+    result = compiler.compile()
+    assert result.overlap > 1 - SUFFICIENT
+
+
+def test_general_initial_state():
+    """Compile for arbitrary initial states (doubled-register construction,
+    approximate_compiler.py:447-499)."""
+    qc = target(2, seed=30, depth=8)
+    compiler = AdaptCompiler(qc, general_initial_state=True)
+    result = compiler.compile()
+    assert result.overlap > 1 - 5e-2
+    # solution must equal target as a UNITARY (up to phase) — check on a
+    # couple of random input states
+    rng = np.random.default_rng(1)
+    for _ in range(2):
+        vec = rng.normal(size=4) + 1j * rng.normal(size=4)
+        vec /= np.linalg.norm(vec)
+        sv_t = simulate(co.make_quantum_only_circuit(qc), state=vec)
+        sv_s = simulate(co.make_quantum_only_circuit(result.circuit), state=vec)
+        assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 0.1
