@@ -77,8 +77,10 @@ def test_compile_random_statevector_target():
 @pytest.mark.parametrize("method", ["expectation", "basic", "random",
                                     "brickwall"])
 def test_pair_selection_methods(method):
+    np.random.seed(42)  # the 'random' method draws from np.random
     qc = small_target(3, seed=6)
-    config = AdaptConfig(method=method, max_layers=40)
+    config = AdaptConfig(method=method, max_layers=40,
+                         cost_improvement_num_layers=20)
     compiler = AdaptCompiler(qc, adapt_config=config)
     result = compiler.compile()
     check_result(result, qc, tol=5e-2)
