@@ -52,7 +52,14 @@ def remove_unnecessary_gates_from_circuit(circuit: Circuit,
                                           remove_zero_gates=True,
                                           remove_small_gates=False,
                                           gate_range=None) -> None:
-    """Iterate 1q merge + 2q cancellation to fixpoint (optimisation.py:31-73)."""
+    """Iterate 1q merge + 2q cancellation to fixpoint (optimisation.py:31-73).
+
+    Dispatches to the native C++ kernel (native/circkit.cpp) when available
+    and the range contains only flat gates; falls back to the Python pass."""
+    from ..ops import native
+    if native.peephole(circuit, remove_zero_gates, remove_small_gates,
+                       gate_range, MINIMUM_ROTATION_ANGLE):
+        return
     if gate_range is None:
         gate_range = [0, len(circuit.data)]
     else:
