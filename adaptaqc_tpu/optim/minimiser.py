@@ -111,23 +111,35 @@ class CostMinimiser:
         q0 = jnp.asarray(tape.q0)
         q1 = jnp.asarray(tape.q1)
 
-        cost = self.cost_finder()
-        cycles = 0
-        cost_history = []
         logger.info(f"Starting {alg_name}")
-        while cost > stop_val and cycles < max_cycles:
-            mask = self._cycle_mask(tape, full_mask, base_indices, rotoselect)
-            kinds, angles, cost_dev, _, evals = sweeps.sweep(
-                engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
-                jnp.asarray(mask))
+        if self.rotosolve_fraction >= 1.0 or rotoselect:
+            # fully fused: all cycles + convergence checks in ONE device call
+            dt = angles.dtype
+            kinds, angles, cost_dev, cycles, evals = sweeps.sweep_until_converged(
+                engine, bl, rotoselect, int(max_cycles), prefix, ref, kinds,
+                q0, q1, angles, jnp.asarray(full_mask),
+                jnp.asarray(stop_val, dt), jnp.asarray(tol, dt))
             comp.cost_evaluation_counter += int(evals)
             cost = float(cost_dev)
-            cycles += 1
-            logger.info(f"{alg_name} cycle: {cycles}")
-            cost_history.append(cost)
-            if len(cost_history) > 3 and has_stopped_improving(
-                    cost_history[-3:], tol):
-                break
+            logger.info(f"{alg_name} ran {int(cycles)} cycles on device")
+        else:
+            # per-cycle host loop (rotosolve_fraction re-samples gates each cycle)
+            cost = self.cost_finder()
+            cycles = 0
+            cost_history = []
+            while cost > stop_val and cycles < max_cycles:
+                mask = self._cycle_mask(tape, full_mask, base_indices, rotoselect)
+                kinds, angles, cost_dev, _, evals = sweeps.sweep(
+                    engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
+                    jnp.asarray(mask))
+                comp.cost_evaluation_counter += int(evals)
+                cost = float(cost_dev)
+                cycles += 1
+                logger.info(f"{alg_name} cycle: {cycles}")
+                cost_history.append(cost)
+                if len(cost_history) > 3 and has_stopped_improving(
+                        cost_history[-3:], tol):
+                    break
         writeback_angles(self.full_circuit, tape_range, tape,
                          np.asarray(kinds), np.asarray(angles))
         comp._invalidate_current()

@@ -181,3 +181,59 @@ def default_block_len(padded_len: int) -> int:
         if padded_len % bl == 0 and bl * bl <= 4 * padded_len:
             return bl
     return 1
+
+
+def _stopped_improving_dev(hist3, rel_tol):
+    """Device version of has_stopped_improving for a 3-cost window
+    (utilityfunctions.py:272-278): linear-fit slope over |mean|."""
+    slope = (hist3[2] - hist3[0]) / 2.0
+    mean = jnp.abs(hist3[0] + hist3[1] + hist3[2]) / 3.0
+    return slope / jnp.maximum(mean, 1e-30) > -rel_tol
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
+                          max_cycles: int, prefix_state, ref_state, kinds,
+                          q0s, q1s, angles, select, stop_val, tol):
+    """Run Rotosolve/Rotoselect cycles to convergence entirely on device.
+
+    Replicates CostMinimiser.minimize_cost's cycle loop
+    (cost_minimiser.py:90-105): evaluate the current cost, then sweep while
+    cost > stop_val, cycles < max_cycles, and the last-3-cost linear fit
+    still improves by `tol`. One host<->device round trip per minimize_cost
+    call instead of one per cycle.
+
+    Returns (kinds, angles, final_cost, cycles, evals).
+    """
+    # initial cost of the unmodified tape (the reference's leading
+    # cost_finder() call)
+    def apply_all(state, k, a, b, th):
+        def body(s, x):
+            return engine.apply(s, *x), None
+        s, _ = lax.scan(body, state, (k, a, b, th))
+        return s
+
+    init_state = apply_all(prefix_state, kinds, q0s, q1s, angles)
+    init_ov = engine.overlap(ref_state, init_state)
+    cost0 = 1.0 - init_ov.abs2()
+
+    big = jnp.asarray(1e30, angles.dtype)
+
+    def cond(carry):
+        k, a, cost, hist, cycle, evals = carry
+        not_done = (cost > stop_val) & (cycle < max_cycles)
+        improving = jnp.where(cycle > 3,
+                              ~_stopped_improving_dev(hist, tol), True)
+        return not_done & improving
+
+    def body(carry):
+        k, a, cost, hist, cycle, evals = carry
+        k, a, cost, _, ev = sweep(engine, block_len, rotoselect, prefix_state,
+                                  ref_state, k, q0s, q1s, a, select)
+        hist = jnp.stack([hist[1], hist[2], cost])
+        return (k, a, cost, hist, cycle + 1, evals + ev)
+
+    init = (kinds, angles, cost0, jnp.stack([big, big, big]),
+            jnp.int32(0), jnp.int32(1))
+    k, a, cost, hist, cycles, evals = lax.while_loop(cond, body, init)
+    return k, a, cost, cycles, evals
