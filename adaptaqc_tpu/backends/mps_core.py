@@ -456,6 +456,9 @@ def batched_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs):
     pairs[p, 0]; zero-padded terms contribute nothing. Returns C (K, P).
     Used by the batched general_gradient pair scoring (utils/gradients.py,
     replacing the reference's per-pair Aer re-simulation gradients.py:81-122).
+
+    Structure: lax.scan over the K*M operators (compact compile graph), with
+    the P pair-lanes batched inside each site step.
     """
     chi = bra.chi
     dt = bra.lam.dtype
@@ -463,36 +466,33 @@ def batched_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs):
     bk = b_tensors(ket)
     k_n, m_n = ops_a.shape[0], ops_a.shape[1]
     p_n = pairs.shape[0]
+    c_sites = pairs[:, 0]
+    t_sites = pairs[:, 1]
 
     sites = jnp.arange(bra.n, dtype=jnp.int32)
     eye = cplx.eye(2, dt)
 
-    def one_lane(flat_idx):
-        k_idx = flat_idx // (m_n * p_n)
-        rem = flat_idx % (m_n * p_n)
-        m_idx = rem // p_n
-        p_idx = rem % p_n
-        a_op = ops_a[k_idx, m_idx]
-        b_op = ops_b[k_idx, m_idx]
-        c_site = pairs[p_idx, 0]
-        t_site = pairs[p_idx, 1]
+    def one_op(_, op_pair):
+        a_op, b_op = op_pair  # C (2, 2) each
 
-        e0 = cplx.zeros((chi, chi), dt)
-        e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+        e0 = cplx.zeros((p_n, chi, chi), dt)
+        e0 = C(e0.re.at[:, 0, 0].set(1.0), e0.im)
 
         def site_step(e, x):
-            i, tb, tk = x
-            is_c = (i == c_site).astype(dt)
-            is_t = (i == t_site).astype(dt)
-            o = C(eye.re + is_c * (b_op.re - eye.re) + is_t * (a_op.re - eye.re),
-                  eye.im + is_c * (b_op.im - eye.im) + is_t * (a_op.im - eye.im))
-            e_new = cplx.einsum("qax,qp,ab,pby->xy", tb.conj(), o, e, tk)
+            i, tb, tk = x  # tb/tk: C (2, chi, chi)
+            is_c = (i == c_sites).astype(dt)[:, None, None]  # (P, 1, 1)
+            is_t = (i == t_sites).astype(dt)[:, None, None]
+            o = C(eye.re[None] + is_c * (b_op.re[None] - eye.re[None])
+                  + is_t * (a_op.re[None] - eye.re[None]),
+                  eye.im[None] + is_c * (b_op.im[None] - eye.im[None])
+                  + is_t * (a_op.im[None] - eye.im[None]))  # (P, 2, 2)
+            e_new = cplx.einsum("qax,lqp,lab,pby->lxy", tb.conj(), o, e, tk)
             return e_new, None
 
         e, _ = lax.scan(site_step, e0, (sites, bb, bk))
-        return e[0, 0]
+        return None, e[:, 0, 0]  # C (P,)
 
-    flat = jnp.arange(k_n * m_n * p_n)
-    vals = jax.vmap(one_lane)(flat)  # C (K*M*P,)
+    ops_flat = (ops_a.reshape(k_n * m_n, 2, 2), ops_b.reshape(k_n * m_n, 2, 2))
+    _, vals = lax.scan(one_op, None, ops_flat)  # C (K*M, P)
     vals = vals.reshape(k_n, m_n, p_n)
     return vals.sum(axis=1)

@@ -8,8 +8,25 @@ working dtypes from JAX's x64 flag: tests running on CPU may enable x64 for
 high-precision oracle checks, while TPU runs default to complex64.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the engine programs are large (nested scans
+# with SVDs) and can take minutes to compile cold; cache them across
+# processes. Opt out with ADAPTAQC_TPU_NO_COMPILE_CACHE=1.
+if (not os.environ.get("ADAPTAQC_TPU_NO_COMPILE_CACHE")
+        and jax.config.jax_compilation_cache_dir is None):
+    _cache_dir = os.environ.get(
+        "ADAPTAQC_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "adaptaqc_tpu_jax"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # read-only filesystem etc.
+        pass
 
 
 def real_dtype():
