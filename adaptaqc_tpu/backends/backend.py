@@ -257,6 +257,7 @@ class SamplingBackend(AQCBackend):
         self.shots = shots
         self._sv = SVBackend()
         self._key = jax.random.PRNGKey(seed)
+        self.host_rng = np.random.default_rng(seed)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -278,15 +279,56 @@ class SamplingBackend(AQCBackend):
     def zero_ref(self, compiler):
         return self._sv.zero_ref(compiler)
 
-    def counts(self, compiler, shots: Optional[int] = None):
+    def _noise_model_of(self, compiler):
+        execute_kwargs = getattr(compiler, "execute_kwargs", None) or {}
+        return execute_kwargs.get("noise_model")
+
+    def _noisy_state(self, compiler, noise_model):
+        """One Monte-Carlo noise trajectory of the full circuit: stochastic
+        error insertions from the thermal-relaxation model applied to every
+        gate, then an exact simulation of the unravelled circuit. The
+        reference instead threads execute_kwargs["noise_model"] into Aer's
+        density-matrix noise (approximate_compiler.py:92-94, 261-266);
+        trajectory sampling is the statevector-engine equivalent."""
+        from ..circuits.operations import make_quantum_only_circuit
+        from ..circuits.running import apply_noise_trajectory
+        qc = make_quantum_only_circuit(compiler.full_circuit)
+        noisy = apply_noise_trajectory(qc, noise_model, self.host_rng)
+        n = noisy.num_qubits
+        state = self._sv.initial_state(noisy, n)
+        start = 1 if (noisy.data and noisy.data[0].name in
+                      ("set_mps", "set_statevector")) else 0
+        tape = compile_tape(noisy, (start, len(noisy.data)))
+        return self._sv.run_tape(state, tape)
+
+    def counts(self, compiler, shots: Optional[int] = None,
+               num_trajectories: int = 8):
         """Sampled counts dict {bitstring: count}, bitstrings with qubit 0 as
-        the RIGHTMOST character (qiskit convention)."""
+        the RIGHTMOST character (qiskit convention). With a noise model in
+        the compiler's execute_kwargs, shots are split across Monte-Carlo
+        noise trajectories of the full circuit."""
+        noise_model = self._noise_model_of(compiler)
+        if noise_model is not None:
+            shots = shots or self.shots
+            per_traj = [shots // num_trajectories] * num_trajectories
+            per_traj[0] += shots - sum(per_traj)
+            n = compiler.full_circuit.num_qubits
+            merged = {}
+            for traj_shots in per_traj:
+                if traj_shots == 0:
+                    continue
+                state = self._noisy_state(compiler, noise_model)
+                for key, c in self._sample_state(state, traj_shots, n).items():
+                    merged[key] = merged.get(key, 0) + c
+            return merged
         state = self.state_of(compiler)
+        n = compiler.full_circuit.num_qubits
+        return self._sample_state(state, shots or self.shots, n)
+
+    def _sample_state(self, state, shots: int, n: int):
         probs = np.asarray(state.abs2(), dtype=np.float64)
         probs = np.maximum(probs, 0)
         probs /= probs.sum()
-        shots = shots or self.shots
-        n = compiler.full_circuit.num_qubits
         draws = np.asarray(jax.random.categorical(
             self._next_key(), jnp.log(jnp.asarray(probs) + 1e-30),
             shape=(shots,)))
@@ -321,16 +363,23 @@ class SamplingBackend(AQCBackend):
         return list(evals / total)
 
     def all_pair_rdms(self, state, pairs: np.ndarray):
-        # Tomography-equivalent: exact RDM + multinomial noise would need the
-        # full tomography protocol; shot-noise on the RDM is approximated by
-        # using the exact simulated RDM (the reference runs StateTomography
-        # on the same simulator).
-        return self._sv.all_pair_rdms(state, pairs)
+        """Shot-based tomography RDMs: the exact per-pair RDMs (batched on
+        device) fix the outcome distributions of the 9-setting Pauli
+        tomography circuits; multinomial draws from those distributions are
+        statistically identical to executing the measurement circuits the
+        reference's StateTomography runs (entanglement_measures.py:101-135),
+        without 9 device round trips per pair."""
+        from ..utils.entanglement_measures import sample_tomography_rdm
+        exact = self._sv.all_pair_rdms(state, pairs)
+        return [sample_tomography_rdm(rho, self.shots, self.host_rng)
+                for rho in exact]
 
     def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
+        from ..utils.entanglement_measures import sample_tomography_rdm
         if state is None:
             state = self.state_of(circuit_or_compiler)
-        return self._sv.two_qubit_rdm(None, q1, q2, state=state)
+        exact = self._sv.two_qubit_rdm(None, q1, q2, state=state)
+        return sample_tomography_rdm(exact, self.shots, self.host_rng)
 
 
 def mps_backend_with_args(mps_truncation_threshold=DEFAULT_TRUNCATION_THRESHOLD,

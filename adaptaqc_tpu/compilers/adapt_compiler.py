@@ -205,7 +205,7 @@ class AdaptCompiler(ApproximateCompiler):
         for layer_count in range(start_point, self.adapt_config.max_layers):
             if self.initial_ansatz_already_successful:
                 break
-            logger.info(f"Global cost before adding layer: {self.global_cost}")
+            logger.info(f"global cost entering layer: {self.global_cost}")
             if self.optimise_local_cost:
                 self.local_cost = self._add_layer(layer_count)
                 self.global_cost = self.backend.evaluate_global_cost(self)
@@ -214,6 +214,7 @@ class AdaptCompiler(ApproximateCompiler):
                 self.global_cost = self._add_layer(layer_count)
             self.global_cost_history.append(self.global_cost)
             self.record_cnot_depth()
+            self._log_full_ansatz()
 
             # keeping the gate count constant is required for MPS caching
             if (self.remove_unnecessary_gates_during_adapt
@@ -242,16 +243,15 @@ class AdaptCompiler(ApproximateCompiler):
             cit = self.adapt_config.cost_improvement_tol
             if len(self.global_cost_history) >= cinl and has_stopped_improving(
                     self.global_cost_history[-cinl:], cit):
-                logger.warning("ADAPT-AQC stopped improving")
+                logger.warning("cost plateaued across the improvement window; stopping")
                 self.compiling_finished = True
                 break
             if self.global_cost < self.adapt_config.sufficient_cost:
-                logger.info("ADAPT-AQC successfully found approximate circuit")
+                logger.info("sufficient-cost threshold reached; ansatz accepted")
                 self.compiling_finished = True
                 break
             elif num_2q_gates >= self.adapt_config.max_2q_gates:
-                logger.warning("ADAPT-AQC MAX_2Q_GATES reached. Using ROTOSOLVE "
-                               "one last time")
+                logger.warning("2q-gate budget exhausted; one final Rotosolve pass")
                 self.minimizer.minimize_cost(
                     algorithm_kind=vconstants.ALG_ROTOSOLVE, max_cycles=10,
                     tol=1e-5, stop_val=self.adapt_config.sufficient_cost)
@@ -407,8 +407,8 @@ class AdaptCompiler(ApproximateCompiler):
 
         if self.global_cost < self.adapt_config.sufficient_cost:
             self.initial_ansatz_already_successful = True
-            logger.debug("ADAPT-AQC successfully found approximate circuit "
-                         "using provided ansatz only")
+            logger.debug("the provided initial ansatz alone already meets the "
+                         "sufficient-cost threshold")
 
         if self.is_mps_backend:
             gates_absorbed = self._absorb_n_gates_into_mps(len(initial_ansatz.data))
@@ -421,8 +421,7 @@ class AdaptCompiler(ApproximateCompiler):
         """adapt_compiler.py:585-689."""
         ansatz_start_index = self.variational_circuit_range()[0]
         if self.initial_single_qubit_layer and index == 0:
-            logger.debug("Starting with first layer comprising of only single "
-                         "qubit rotations")
+            logger.debug("layer 0 is the initial single-qubit rotation layer")
             layer_indexes = self._add_rotation_to_all_qubits()
         else:
             layer_indexes = self._add_entangling_layer(index)
@@ -503,9 +502,9 @@ class AdaptCompiler(ApproximateCompiler):
 
     def _add_entangling_layer(self, index):
         """adapt_compiler.py:743-759."""
-        logger.debug("Finding best qubit pair")
+        logger.debug("scoring candidate qubit pairs")
         control, target = self._find_appropriate_qubit_pair()
-        logger.debug(f"Best qubit pair found {(control, target)}")
+        logger.debug(f"selected pair {(control, target)}")
         co.add_to_circuit(self.full_circuit, self.get_layer_2q_gate(index),
                           self.variational_circuit_range()[1],
                           qubit_subset=[control, target])
@@ -587,7 +586,7 @@ class AdaptCompiler(ApproximateCompiler):
             psi, self.starting_circuit, self._gradient_ops,
             self.degeneracies, self.coupling_map, self.backend,
             self.full_circuit.num_qubits)
-        logger.debug(f"Gradient of all pairs: {gradients}")
+        logger.debug(f"per-pair gradient norms: {gradients}")
         return gradients
 
     def _state_without_starting_circuit(self):
@@ -614,16 +613,17 @@ class AdaptCompiler(ApproximateCompiler):
             pre_em = self.entanglement_measures_history[-2][prev_index]
             post_em = self.entanglement_measures_history[-1][prev_index]
             if post_em >= pre_em:
-                logger.debug(f"Entanglement did not reduce for previous pair "
-                             f"{self.coupling_map[prev_index]}. Adding to bad "
-                             "qubit pairs list.")
+                logger.debug(
+                    f"pair {self.coupling_map[prev_index]} left its "
+                    "entanglement unchanged or higher -> marking it bad")
                 self.bad_qubit_pairs.append(self.coupling_map[prev_index])
             if len(self.bad_qubit_pairs) > self.adapt_config.bad_qubit_pair_memory:
-                logger.debug(f"Max size of bad qubit pairs reached. Removing "
-                             f"{self.bad_qubit_pairs[0]} from list.")
+                logger.debug(
+                    f"bad-pair memory full; forgetting oldest entry "
+                    f"{self.bad_qubit_pairs[0]}")
                 del self.bad_qubit_pairs[0]
 
-        logger.debug(f"Entanglement of all pairs: {entanglement_measures}")
+        logger.debug(f"per-pair entanglement: {entanglement_measures}")
         filtered = [em * pr for em, pr in zip(entanglement_measures, priorities)]
         for qp in set(self.bad_qubit_pairs):
             reps = len([x for x in self.qubit_pair_history[
@@ -631,9 +631,10 @@ class AdaptCompiler(ApproximateCompiler):
             if reps >= 1:
                 filtered[self.coupling_map.index(qp)] = -1
 
-        logger.debug(f"Combined priority of all pairs: {filtered}")
+        logger.debug(f"entanglement x reuse priority per pair: {filtered}")
         if max(filtered) <= self.adapt_config.entanglement_threshold:
-            logger.info("No local entanglement detected in non-bad qubit pairs")
+            logger.info("every non-bad pair is below the entanglement threshold; "
+                        "falling back to the expectation heuristic")
             return self._find_best_expectation_qubit_pair()
         self.pair_selection_method_history.append("ISL")
         self.e_val_history.append(None)
@@ -646,16 +647,31 @@ class AdaptCompiler(ApproximateCompiler):
         e_vals = self.backend.measure_qubit_expectation_values(self)
         self.e_val_history.append(e_vals)
         e_val_sums = [e_vals[c] + e_vals[t] for c, t in self.coupling_map]
-        logger.debug(f"Summed sigma_z expectation values of pairs {e_val_sums}")
+        logger.debug(f"pairwise <Z>+<Z> sums: {e_val_sums}")
         # map <Z> in [-1, 1] to a priority favouring qubits near |1>
         e_val_priorities = [2 - s for s in e_val_sums]
         combined = [e * p for e, p in zip(e_val_priorities, priorities)]
-        logger.debug(f"Combined priorities of pairs {combined}")
+        logger.debug(f"expectation x reuse priority per pair: {combined}")
         self.pair_selection_method_history.append("expectation")
         return self.coupling_map[int(np.argmax(combined))]
 
     def _get_all_qubit_pair_entanglement_measures(self):
-        """Batched on-device RDM sweep (adapt_compiler.py:955-976)."""
+        """Batched on-device RDM sweep (adapt_compiler.py:955-976). For the
+        sampling backend with the observable method, run the genuine two-copy
+        Bell-measurement protocol per pair instead of post-processing RDMs
+        (entanglement_measures.py:138-256)."""
+        from ..backends.backend import SamplingBackend
+        from ..utils.entanglement_measures import (
+            EM_OBSERVABLE_CONCURRENCE_LOWER_BOUND,
+            measure_concurrence_lower_bound)
+        if (self.entanglement_measure_method
+                == EM_OBSERVABLE_CONCURRENCE_LOWER_BOUND
+                and isinstance(self.backend, SamplingBackend)):
+            qc = co.make_quantum_only_circuit(self.full_circuit)
+            return [measure_concurrence_lower_bound(
+                        qc, a, b, self.backend,
+                        execute_kwargs=self.execute_kwargs)
+                    for a, b in self.coupling_map]
         state = self.backend.state_of(self)
         pairs = np.asarray(self.coupling_map, dtype=np.int32)
         rhos = self.backend.all_pair_rdms(state, pairs)
@@ -676,7 +692,7 @@ class AdaptCompiler(ApproximateCompiler):
             else:
                 raise ValueError("Reuse priority mode must be one of: "
                                  "['pair', 'qubit']")
-        logger.debug(f"Reuse priorities of pairs: {priorities}")
+        logger.debug(f"reuse priority per pair: {priorities}")
         return priorities
 
     def _find_last_use_of_qubit(self, qubit_pairs, qubit):
@@ -745,6 +761,21 @@ class AdaptCompiler(ApproximateCompiler):
         self.lhs_gate_count = 1
         self._invalidate_prefix()
         return gates_absorbed
+
+    def _log_full_ansatz(self):
+        """debug_log_full_ansatz: dump the current variational ansatz as QASM
+        at debug level after every layer (adapt_compiler.py:508-534)."""
+        if not self.debug_log_full_ansatz:
+            return
+        if self.is_mps_backend:
+            src = self.ref_circuit_as_gates
+            rng = (1, len(src.data))
+        else:
+            src = self.full_circuit
+            rng = self.g_range()
+        ansatz = co.extract_inner_circuit(src, rng)
+        logger.debug("current full ansatz:\n%s",
+                     qasm.dumps(co.make_quantum_only_circuit(ansatz)))
 
     def record_cnot_depth(self):
         """adapt_compiler.py:1147-1163."""
