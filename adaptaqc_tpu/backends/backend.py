@@ -141,16 +141,32 @@ class MPSBackend(AQCBackend):
     :param truncation_threshold: singular values below this are discarded
         (matrix_product_state_truncation_threshold, aer_mps_backend.py:27-42)
     :param max_chi: padded bond dimension; the engine truncates to it
-        (matrix_product_state_max_bond_dimension). Static for XLA.
+        (matrix_product_state_max_bond_dimension). Static for XLA. NOTE: the
+        reference's Aer default is an UNBOUNDED bond dimension; static TPU
+        shapes force a cap (DEFAULT_MAX_CHI when unset). The engine tracks
+        the Schmidt weight each truncation discards (MPS.trunc) and
+        `truncated_weight` / the compiler's end-of-run warning surface it, so
+        a binding cap is never silent.
+    :param mps_log_data: when True, log the accumulated discarded weight
+        after every tape execution (Aer's mps_log_data analogue). Costs one
+        device sync per run_tape call — keep off in production runs.
     """
 
     engine_name = "mps"
 
     def __init__(self, truncation_threshold: float = DEFAULT_TRUNCATION_THRESHOLD,
-                 max_chi: Optional[int] = None):
+                 max_chi: Optional[int] = None, mps_log_data: bool = False):
         self.truncation_threshold = float(truncation_threshold)
         self.max_chi = max_chi
+        self.mps_log_data = mps_log_data
         self._jit_cache = {}
+
+    @staticmethod
+    def truncated_weight(state) -> float:
+        """Total relative Schmidt weight discarded across all 2q applies that
+        produced `state` (0 when neither the chi cap nor the threshold ever
+        bound). Forces a device sync."""
+        return float(state.trunc)
 
     def chi_for(self, n: int) -> int:
         cap = self.max_chi or DEFAULT_MAX_CHI
@@ -180,7 +196,11 @@ class MPSBackend(AQCBackend):
             fn = jax.jit(lambda s, k, a, b, th: mps_core.apply_tape(
                 s, k, a, b, th, thr))
             self._jit_cache[key] = fn
-        return fn(state, *_tape_args(tape))
+        out = fn(state, *_tape_args(tape))
+        if self.mps_log_data:
+            logger.info("mps_log_data: accumulated discarded Schmidt weight "
+                        f"= {float(out.trunc):.3e} (chi={out.chi})")
+        return out
 
     def state_of(self, compiler):
         return compiler._current_state()
@@ -383,9 +403,10 @@ class SamplingBackend(AQCBackend):
 
 
 def mps_backend_with_args(mps_truncation_threshold=DEFAULT_TRUNCATION_THRESHOLD,
-                          max_chi=None, **_ignored) -> MPSBackend:
+                          max_chi=None, mps_log_data=False,
+                          **_ignored) -> MPSBackend:
     """mps_sim_with_args analogue (aer_mps_backend.py:27-42)."""
-    return MPSBackend(mps_truncation_threshold, max_chi)
+    return MPSBackend(mps_truncation_threshold, max_chi, mps_log_data)
 
 
 # Default singletons (python_default_backends.py:17-19)

@@ -41,6 +41,11 @@ from .sv_core import build_u4
 class MPS(NamedTuple):
     gam: C            # (n, 2, chi, chi)
     lam: jnp.ndarray  # (n+1, chi) real
+    # accumulated relative discarded Schmidt weight: every 2q apply adds
+    # (||theta||_F^2 - sum kept s^2) / ||theta||_F^2. Nonzero means the
+    # chi cap or the truncation threshold is actively binding (Aer surfaces
+    # the same signal via mps_log_data, aer_mps_backend.py:27-42).
+    trunc: jnp.ndarray = 0.0
 
     @property
     def n(self):
@@ -56,7 +61,7 @@ def zero_mps(n: int, chi: int, dtype=None) -> MPS:
     gre = jnp.zeros((n, 2, chi, chi), dtype).at[:, 0, 0, 0].set(1.0)
     gam = C(gre, jnp.zeros((n, 2, chi, chi), dtype))
     lam = jnp.zeros((n + 1, chi), dtype).at[:, 0].set(1.0)
-    return MPS(gam, lam)
+    return MPS(gam, lam, jnp.zeros((), dtype))
 
 
 def product_mps(amps: np.ndarray, chi: int, dtype=None) -> MPS:
@@ -68,7 +73,7 @@ def product_mps(amps: np.ndarray, chi: int, dtype=None) -> MPS:
     gre = gre.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].real, dtype))
     gim = st.gam.im.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].imag, dtype))
     gim = gim.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].imag, dtype))
-    return MPS(C(gre, gim), st.lam)
+    return MPS(C(gre, gim), st.lam, st.trunc)
 
 
 def _pinv(v, eps=None):
@@ -93,7 +98,7 @@ def _apply_1q_at(state: MPS, u2: C, q) -> MPS:
     new = cplx.einsum("pq,qab->pab", u2, site)
     gre = lax.dynamic_update_slice(state.gam.re, new.re[None], (q, z, z, z))
     gim = lax.dynamic_update_slice(state.gam.im, new.im[None], (q, z, z, z))
-    return MPS(C(gre, gim), state.lam)
+    return MPS(C(gre, gim), state.lam, state.trunc)
 
 
 def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
@@ -119,8 +124,12 @@ def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
     m = theta.reshape(chi * 2, 2 * chi)  # rows (a,pl), cols (pr,b)
     u, s, vh = cplx.svd_trunc(m, chi, threshold)
     # renormalise the kept spectrum (Aer renormalises after truncation)
-    snorm = jnp.sqrt(jnp.sum(s * s))
+    kept = jnp.sum(s * s)
+    snorm = jnp.sqrt(kept)
     s_new = s / jnp.maximum(snorm, 1e-30)
+    # relative Schmidt weight lost to the chi cap / threshold this apply
+    total = jnp.sum(m.abs2())
+    discarded = jnp.maximum(total - kept, 0.0) / jnp.maximum(total, 1e-30)
 
     inv_l = _pinv(lam_l)
     inv_r = _pinv(lam_r)
@@ -135,7 +144,7 @@ def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
     gre2 = lax.dynamic_update_slice(state.gam.re, stack.re, (k, z, z, z))
     gim2 = lax.dynamic_update_slice(state.gam.im, stack.im, (k, z, z, z))
     lam2 = lax.dynamic_update_slice(state.lam, s_new[None], (k + 1, z))
-    return MPS(C(gre2, gim2), lam2)
+    return MPS(C(gre2, gim2), lam2, state.trunc + discarded)
 
 
 _SWAP_NP = np.eye(4)[[0, 2, 1, 3]].astype(np.float64)
@@ -406,7 +415,7 @@ def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
         v = np.asarray(v)
         lam[i + 1, :v.size] = v
     return MPS(C(jnp.asarray(gre, dtype), jnp.asarray(gim, dtype)),
-               jnp.asarray(lam, dtype))
+               jnp.asarray(lam, dtype), jnp.zeros((), dtype))
 
 
 def to_qiskit_mps(state: MPS):

@@ -288,6 +288,21 @@ class AdaptCompiler(ApproximateCompiler):
             final_global_cost = self.backend.evaluate_global_cost(self)
         logger.info(f"Final global cost: {final_global_cost}")
         self.global_cost_history.append(final_global_cost)
+        mps_truncated_weight = None
+        if self.is_mps_backend:
+            state = self.backend.state_of(self)
+            mps_truncated_weight = self.backend.truncated_weight(state)
+            # discriminate real truncation from accumulated per-apply
+            # rounding residue (~eps per 2q apply, much larger under f32)
+            noise_floor = 1e4 * float(np.finfo(
+                np.asarray(state.lam).dtype).eps)
+            if mps_truncated_weight > noise_floor:
+                logger.warning(
+                    "MPS truncation discarded relative Schmidt weight "
+                    f"{mps_truncated_weight:.3e} during this compile — "
+                    f"max_chi={self.backend.max_chi} or the truncation "
+                    "threshold is binding; overlaps may be inaccurate. "
+                    "Raise max_chi to make the simulation exact.")
         if checkpoint_every > 0:
             self.checkpoint(checkpoint_every, checkpoint_dir, delete_prev_chkpt,
                             len(self.qubit_pair_history) - 1, start_time)
@@ -325,6 +340,9 @@ class AdaptCompiler(ApproximateCompiler):
             circuit_qasm=qasm.dumps(co.make_quantum_only_circuit(
                 compiled_circuit)),
         )
+        # observability extra over the reference: how much Schmidt weight the
+        # MPS engine dropped (None for non-MPS backends; 0.0 = exact)
+        result.mps_truncated_weight = mps_truncated_weight
         logger.info("ADAPT-AQC completed")
         return result
 

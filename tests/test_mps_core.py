@@ -164,3 +164,60 @@ def test_qiskit_mps_roundtrip():
     st2 = mps_core.from_qiskit_mps(qmps, 8)
     dot = cplx.to_np(mps_core.mps_dot(st, st2))
     assert abs(abs(dot) - 1.0) < 1e-6
+
+
+class TestTruncationObservability:
+    """MPS.trunc accumulates relative discarded Schmidt weight (VERDICT r1:
+    the reference's Aer default is unbounded chi; a binding cap must not be
+    silent — aer_mps_backend.py:27-42 / mps_log_data)."""
+
+    def _deep_random_circuit(self, n, layers=4, seed=0):
+        from adaptaqc_tpu.circuits.circuit import Circuit
+        rng = np.random.default_rng(seed)
+        qc = Circuit(n)
+        for _ in range(layers):
+            for q in range(n):
+                qc.ry(float(rng.uniform(-3, 3)), q)
+            for q in range(n - 1):
+                qc.cx(q, q + 1)
+        return qc
+
+    def test_ghz_degenerate_spectrum_no_truncation(self):
+        # GHZ needs exactly chi=2; its degenerate Schmidt values must be
+        # kept, not mixed/truncated (CLAUDE.md degenerate-spectrum caveat)
+        from adaptaqc_tpu.backends.backend import MPSBackend
+        from adaptaqc_tpu.circuits.circuit import Circuit
+        from adaptaqc_tpu.circuits.tape import compile_tape
+        n = 4
+        qc = Circuit(n)
+        qc.h(0)
+        for i in range(n - 1):
+            qc.cx(i, i + 1)
+        backend = MPSBackend(max_chi=2)
+        state = backend.run_tape(mps_core.zero_mps(n, 2),
+                                 compile_tape(qc, (0, len(qc.data))))
+        assert backend.truncated_weight(state) < 1e-12
+        assert float(mps_core.overlap_with_zero(state).abs2()) == \
+            pytest.approx(0.5)
+
+    def test_binding_chi_cap_reports_nonzero_weight(self):
+        from adaptaqc_tpu.backends.backend import MPSBackend
+        from adaptaqc_tpu.circuits.tape import compile_tape
+        n = 4
+        qc = self._deep_random_circuit(n)
+        tape = compile_tape(qc, (0, len(qc.data)))
+        capped = MPSBackend(max_chi=2)
+        state = capped.run_tape(mps_core.zero_mps(n, 2), tape)
+        assert capped.truncated_weight(state) > 1e-3
+        ample = MPSBackend(max_chi=8)
+        state8 = ample.run_tape(mps_core.zero_mps(n, 8), tape)
+        assert ample.truncated_weight(state8) < 1e-12
+
+    def test_compile_result_carries_truncated_weight(self):
+        from adaptaqc_tpu.backends.backend import MPSBackend
+        from adaptaqc_tpu.compilers.adapt_compiler import AdaptCompiler
+        np.random.seed(5)
+        target = self._deep_random_circuit(3, layers=1, seed=2)
+        result = AdaptCompiler(target, backend=MPSBackend()).compile()
+        assert result.mps_truncated_weight is not None
+        assert result.mps_truncated_weight < 1e-8
