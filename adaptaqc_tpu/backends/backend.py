@@ -61,21 +61,36 @@ def _tape_args(tape: Tape):
 
 
 class SVBackend(AQCBackend):
-    """Statevector cost engine (AerSVBackend analogue)."""
+    """Statevector cost engine (AerSVBackend analogue).
+
+    :param mesh: optional jax.sharding.Mesh with ("dp", "tp") axes. When set,
+        every engine state is tp-sharded over its amplitude axis and pair
+        batches are dp-sharded, so the compiler's jitted sweeps and RDM
+        scoring run as GSPMD programs over the mesh (SURVEY.md section 2.7's
+        TPU-native parallelism). Results are identical to the unsharded
+        engine (tests/test_mesh.py asserts this).
+    """
 
     engine_name = "sv"
 
-    def __init__(self):
+    def __init__(self, mesh=None):
+        self.mesh = mesh
         self._jit_cache = {}
+
+    def _shard(self, state):
+        if self.mesh is None:
+            return state
+        from ..parallel import mesh as pmesh
+        return pmesh.shard_state(self.mesh, state)
 
     # ------------------------------------------------------- engine plumbing
     def initial_state(self, circuit: Circuit, n: int):
         """Engine state for the leading state-injection instruction (if any)."""
         if circuit.data and circuit.data[0].name == "set_statevector":
-            return sv_core.state_from_vector(circuit.data[0].payload)
+            return self._shard(sv_core.state_from_vector(circuit.data[0].payload))
         if circuit.data and circuit.data[0].name == "set_mps":
             raise ValueError("SV backend cannot consume an MPS target")
-        return sv_core.zero_state(n)
+        return self._shard(sv_core.zero_state(n))
 
     def run_tape(self, state, tape: Tape):
         key = ("run", tape.padded_length, state.re.shape)
@@ -92,7 +107,7 @@ class SVBackend(AQCBackend):
         return sv_core.sweep_engine()
 
     def zero_ref(self, compiler):
-        return sv_core.zero_state(compiler.full_circuit.num_qubits)
+        return self._shard(sv_core.zero_state(compiler.full_circuit.num_qubits))
 
     # ----------------------------------------------------------- cost layer
     def evaluate_global_cost(self, compiler):
@@ -116,14 +131,19 @@ class SVBackend(AQCBackend):
 
     # -------------------------------------------------------- analysis layer
     def all_pair_rdms(self, state, pairs: np.ndarray):
-        key = ("rdms", state.re.shape, pairs.shape, pairs.tobytes())
+        n_pairs = len(pairs)
+        if self.mesh is not None:
+            from ..parallel import mesh as pmesh
+            pairs_dev, n_pairs = pmesh.shard_pairs(self.mesh, pairs)
+        else:
+            pairs_dev = jnp.asarray(pairs, jnp.int32)
+        key = ("rdms", state.re.shape, pairs_dev.shape)
         fn = self._jit_cache.get(key)
         if fn is None:
-            parr = jnp.asarray(pairs, jnp.int32)
-            fn = jax.jit(lambda s: sv_core.all_pair_rdms(s, parr))
+            fn = jax.jit(sv_core.all_pair_rdms)
             self._jit_cache[key] = fn
-        rhos = fn(state)
-        return [cplx.to_np(rhos[i]) for i in range(len(pairs))]
+        rhos = fn(state, pairs_dev)
+        return [cplx.to_np(rhos[i]) for i in range(n_pairs)]
 
     def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
         if state is None:
@@ -150,16 +170,28 @@ class MPSBackend(AQCBackend):
     :param mps_log_data: when True, log the accumulated discarded weight
         after every tape execution (Aer's mps_log_data analogue). Costs one
         device sync per run_tape call — keep off in production runs.
+    :param mesh: optional jax.sharding.Mesh with ("dp", "tp") axes: MPS
+        tensors tp-shard over the bond (chi) axis, so the chi^3 environment
+        matmuls in sweeps and observables partition over the mesh — the path
+        to chi beyond single-chip HBM. Results match the unsharded engine.
     """
 
     engine_name = "mps"
 
     def __init__(self, truncation_threshold: float = DEFAULT_TRUNCATION_THRESHOLD,
-                 max_chi: Optional[int] = None, mps_log_data: bool = False):
+                 max_chi: Optional[int] = None, mps_log_data: bool = False,
+                 mesh=None):
         self.truncation_threshold = float(truncation_threshold)
         self.max_chi = max_chi
         self.mps_log_data = mps_log_data
+        self.mesh = mesh
         self._jit_cache = {}
+
+    def _shard(self, state):
+        if self.mesh is None:
+            return state
+        from ..parallel import mesh as pmesh
+        return pmesh.shard_mps(self.mesh, state)
 
     @staticmethod
     def truncated_weight(state) -> float:
@@ -180,13 +212,13 @@ class MPSBackend(AQCBackend):
             if isinstance(payload, mps_core.MPS):
                 if payload.chi != chi:
                     raise ValueError("cached MPS chi mismatch")
-                return payload
-            return mps_core.from_qiskit_mps(payload, chi)
+                return self._shard(payload)
+            return self._shard(mps_core.from_qiskit_mps(payload, chi))
         if circuit.data and circuit.data[0].name == "set_statevector":
             raise ValueError(
                 "MPS backend received a raw statevector target; pass a circuit "
                 "or a Qiskit-format MPS instead")
-        return mps_core.zero_mps(n, chi)
+        return self._shard(mps_core.zero_mps(n, chi))
 
     def run_tape(self, state, tape: Tape):
         key = ("run", tape.padded_length, state.chi, state.n)
@@ -210,7 +242,7 @@ class MPSBackend(AQCBackend):
 
     def zero_ref(self, compiler):
         n = compiler.full_circuit.num_qubits
-        return mps_core.zero_mps(n, self.chi_for(n))
+        return self._shard(mps_core.zero_mps(n, self.chi_for(n)))
 
     # ----------------------------------------------------------- cost layer
     def evaluate_global_cost(self, compiler):

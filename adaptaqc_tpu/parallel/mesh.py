@@ -7,18 +7,23 @@ compilations across processes. The TPU-native equivalents here:
  - dp axis — candidate-pair scoring (the per-layer heuristic sweep over the
    coupling map, O(n^2) pairs for CMAP_FULL) shards the pairs axis across
    devices; each device scores its pairs against a replicated state.
- - tp axis — the statevector itself shards across devices (the 2^n amplitude
-   array over the top qubits), letting compilations exceed single-chip HBM.
-   Gate application under jit is partitioned by GSPMD: gathers on sharded
-   axes lower to collectives over ICI.
+ - tp axis — the simulation state itself shards across devices: the 2^n
+   statevector amplitude axis, or the MPS bond (chi) axis, letting
+   compilations exceed single-chip HBM. Gate application under jit is
+   partitioned by GSPMD: contractions over sharded axes lower to
+   collectives over ICI.
 
-Both axes compose in one `jax.sharding.Mesh`; `training_step` below jits one
-full ADAPT optimisation step (Rotoselect sweep + pair scoring) over it.
+Both axes compose in one `jax.sharding.Mesh`. Integration into the real
+compiler goes through the backends: construct `SVBackend(mesh=...)` or
+`MPSBackend(mesh=...)` and every engine state the compiler caches is
+tp-sharded, so the O(G) Rotosolve/Rotoselect sweeps (optim/sweeps.py) and the
+batched pair-RDM scoring run as GSPMD programs over the mesh with no
+compiler-side changes.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,40 +52,59 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def shard_state(mesh: Mesh, state: C, axis: str = "tp") -> C:
+    """tp-shard a statevector C over its amplitude axis (replicates when the
+    axis does not divide)."""
+    if state.re.shape[0] % mesh.shape[axis] != 0:
+        return replicate(mesh, state)
     sh = NamedSharding(mesh, P(axis))
     return C(jax.device_put(state.re, sh), jax.device_put(state.im, sh))
 
 
+def shard_mps(mesh: Mesh, state, axis: str = "tp"):
+    """tp-shard an MPS over its right-bond (chi) axis: gam (n, 2, chi, chi)
+    on the last axis, lam (n+1, chi) on the last axis. chi**2-cost
+    environment contractions then shard their matmuls over the mesh."""
+    from ..backends import mps_core
+    if state.chi % mesh.shape[axis] != 0:
+        return replicate(mesh, state)
+    gam_sh = NamedSharding(mesh, P(None, None, None, axis))
+    lam_sh = NamedSharding(mesh, P(None, axis))
+    return mps_core.MPS(
+        C(jax.device_put(state.gam.re, gam_sh),
+          jax.device_put(state.gam.im, gam_sh)),
+        jax.device_put(state.lam, lam_sh),
+        jax.device_put(state.trunc, NamedSharding(mesh, P())))
+
+
 def replicate(mesh: Mesh, x):
+    # a single fully-replicated sharding applies to every pytree leaf
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
 def shard_pairs(mesh: Mesh, pairs: np.ndarray, axis: str = "dp"):
-    return jax.device_put(jnp.asarray(pairs, jnp.int32),
-                          NamedSharding(mesh, P(axis, None)))
-
-
-def pair_purity_scores(state: C, pairs) -> jnp.ndarray:
-    """Device-side pair scores: 1 - purity of the 2-site RDM (a monotone
-    entanglement proxy used for the sharded scoring path; the exact
-    concurrence post-processing stays host-side as in utils/
-    entanglement_measures.py)."""
-    rhos = sv_core.all_pair_rdms(state, pairs)  # C (P, 4, 4)
-    rho2 = rhos @ rhos
-    # trace of rho^2 (real for Hermitian rho)
-    tr = rho2.re[:, jnp.arange(4), jnp.arange(4)].sum(axis=-1)
-    return 1.0 - tr
+    """dp-shard a (P, 2) coupling-map array, padding P up to a multiple of
+    the dp extent. Returns (sharded_pairs, original_count)."""
+    pairs = np.asarray(pairs, dtype=np.int32)
+    n_pairs = len(pairs)
+    dp = mesh.shape[axis]
+    pad = (-n_pairs) % dp
+    if pad:
+        pairs = np.concatenate([pairs, np.tile(pairs[:1], (pad, 1))])
+    return jax.device_put(jnp.asarray(pairs),
+                          NamedSharding(mesh, P(axis, None))), n_pairs
 
 
 def make_training_step(mesh: Mesh, n: int, padded_len: int,
                        rotoselect: bool = True):
     """One jitted ADAPT optimisation step over the mesh: a Rotoselect sweep
-    on the tp-sharded statevector + dp-sharded pair scoring."""
+    on the tp-sharded statevector + dp-sharded all-pair 2-site RDMs — the
+    exact quantities the ISL heuristic consumes (the concurrence
+    post-processing of each 4x4 RDM stays host-side, as in
+    utils/entanglement_measures.py)."""
     engine = sv_core.sweep_engine()
     bl = sweeps.default_block_len(padded_len)
 
     state_spec = NamedSharding(mesh, P("tp"))
-    pair_spec = NamedSharding(mesh, P("dp", None))
     repl = NamedSharding(mesh, P())
 
     @jax.jit
@@ -88,24 +112,16 @@ def make_training_step(mesh: Mesh, n: int, padded_len: int,
         ref = sv_core.zero_state(n, prefix.dtype)
         nk, na, cost, l_state, evals = sweeps.sweep(
             engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles, select)
-        scores = pair_purity_scores(l_state, pairs)
-        return nk, na, cost, scores, evals
+        rhos = sv_core.all_pair_rdms(l_state, pairs)  # C (P, 4, 4)
+        return nk, na, cost, rhos, evals
 
     def run(prefix: C, tape, select, pairs):
-        prefix = C(jax.device_put(prefix.re, state_spec),
-                   jax.device_put(prefix.im, state_spec))
+        prefix = shard_state(mesh, prefix)
         args = [jax.device_put(jnp.asarray(x), repl)
                 for x in (tape.kinds, tape.q0, tape.q1, tape.angles)]
         select = jax.device_put(jnp.asarray(select), repl)
-        # pad the pairs axis to a multiple of the dp extent
-        pairs = np.asarray(pairs, dtype=np.int32)
-        n_pairs = len(pairs)
-        dp = mesh.shape["dp"]
-        pad = (-n_pairs) % dp
-        if pad:
-            pairs = np.concatenate([pairs, np.tile(pairs[:1], (pad, 1))])
-        pairs = jax.device_put(jnp.asarray(pairs), pair_spec)
-        nk, na, cost, scores, evals = step(prefix, *args, select, pairs)
-        return nk, na, cost, scores[:n_pairs], evals
+        pairs, n_pairs = shard_pairs(mesh, pairs)
+        nk, na, cost, rhos, evals = step(prefix, *args, select, pairs)
+        return nk, na, cost, rhos[:n_pairs], evals
 
     return run

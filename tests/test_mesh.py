@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the conftest-provisioned 8-virtual-device
+CPU mesh: GSPMD-sharded sweeps and pair scoring must match the unsharded
+engine bit-for-tolerance, both standalone and through AdaptCompiler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptaqc_tpu.backends import sv_core
+from adaptaqc_tpu.backends.backend import MPSBackend, SVBackend
+from adaptaqc_tpu.circuits.circuit import Circuit
+from adaptaqc_tpu.circuits.tape import compile_tape
+from adaptaqc_tpu.compilers.adapt_compiler import AdaptCompiler
+from adaptaqc_tpu.compilers.approximate_compiler import (
+    calculate_overlap_between_circuits)
+from adaptaqc_tpu.circuits.operations import (
+    create_random_initial_state_circuit, make_quantum_only_circuit)
+from adaptaqc_tpu.ops import cplx
+from adaptaqc_tpu.optim import sweeps
+from adaptaqc_tpu.parallel import mesh as pmesh
+from adaptaqc_tpu.utils.constants import CMAP_FULL, generate_coupling_map
+
+
+def _random_tape(n, depth, seed=0):
+    rng = np.random.default_rng(seed)
+    qc = Circuit(n)
+    for q in range(n):
+        qc.ry(float(rng.uniform(-3, 3)), q)
+    for _ in range(depth):
+        a = int(rng.integers(n - 1))
+        qc.rz(float(rng.uniform(-3, 3)), a)
+        qc.cx(a, a + 1)
+        qc.rx(float(rng.uniform(-3, 3)), a + 1)
+    return compile_tape(qc)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provision 8 CPU devices"
+    return pmesh.make_mesh(8)
+
+
+class TestTrainingStep:
+    def test_sharded_sweep_matches_unsharded(self, mesh8):
+        n = 6
+        tape = _random_tape(n, 8)
+        pairs = np.asarray(generate_coupling_map(n, CMAP_FULL), np.int32)
+        prefix = sv_core.zero_state(n)
+
+        step = pmesh.make_training_step(mesh8, n, tape.padded_length)
+        with mesh8:
+            nk, na, cost, rhos, evals = step(prefix, tape, tape.trainable,
+                                             pairs)
+
+        engine = sv_core.sweep_engine()
+        bl = sweeps.default_block_len(tape.padded_length)
+        ref = sv_core.zero_state(n)
+        nk0, na0, cost0, l_state, _ = sweeps.sweep(
+            engine, bl, True, sv_core.zero_state(n), ref,
+            jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+            jnp.asarray(tape.trainable))
+        rhos0 = sv_core.all_pair_rdms(l_state, jnp.asarray(pairs))
+
+        assert np.array_equal(np.asarray(nk), np.asarray(nk0))
+        assert np.allclose(np.asarray(na), np.asarray(na0), atol=1e-9)
+        assert float(cost) == pytest.approx(float(cost0), abs=1e-10)
+        assert np.allclose(cplx.to_np(rhos), cplx.to_np(rhos0), atol=1e-10)
+
+    def test_pair_padding_roundtrip(self, mesh8):
+        # 3 pairs do not divide dp=2: padding must not leak into results
+        n = 3
+        tape = _random_tape(n, 4, seed=3)
+        pairs = np.asarray(generate_coupling_map(n, CMAP_FULL), np.int32)
+        assert len(pairs) == 3
+        step = pmesh.make_training_step(mesh8, n, tape.padded_length)
+        with mesh8:
+            _, _, _, rhos, _ = step(sv_core.zero_state(n), tape,
+                                    tape.trainable, pairs)
+        assert rhos.shape[0] == 3
+
+
+class TestShardedBackends:
+    def test_sv_backend_compile_matches_unsharded(self, mesh8):
+        target = create_random_initial_state_circuit(4, seed=21)
+
+        np.random.seed(7)
+        res_plain = AdaptCompiler(target, backend=SVBackend()).compile()
+        np.random.seed(7)
+        res_mesh = AdaptCompiler(target,
+                                 backend=SVBackend(mesh=mesh8)).compile()
+
+        assert res_mesh.qubit_pair_history == res_plain.qubit_pair_history
+        assert res_mesh.overlap == pytest.approx(res_plain.overlap, abs=1e-7)
+        assert res_mesh.overlap > 0.99
+        ov = calculate_overlap_between_circuits(
+            target, make_quantum_only_circuit(res_mesh.circuit))
+        assert ov > 0.99
+
+    def test_mps_backend_compile_matches_unsharded(self, mesh8):
+        rng = np.random.default_rng(5)
+        n = 4
+        target = Circuit(n)
+        for _ in range(2):
+            for q in range(n):
+                target.ry(float(rng.uniform(-3, 3)), q)
+            for q in range(n - 1):
+                target.cx(q, q + 1)
+
+        np.random.seed(11)
+        res_plain = AdaptCompiler(target, backend=MPSBackend()).compile()
+        np.random.seed(11)
+        res_mesh = AdaptCompiler(
+            target, backend=MPSBackend(mesh=mesh8)).compile()
+
+        assert res_mesh.qubit_pair_history == res_plain.qubit_pair_history
+        assert res_mesh.overlap == pytest.approx(res_plain.overlap, abs=1e-6)
+        assert res_mesh.overlap > 0.99
+
+    def test_sharded_state_layout(self, mesh8):
+        backend = SVBackend(mesh=mesh8)
+        state = backend.initial_state(Circuit(6), 6)
+        shard_shapes = {s.data.shape for s in state.re.addressable_shards}
+        # 2^6 amplitudes over tp=4 -> 16 per shard
+        assert shard_shapes == {(2 ** 6 // mesh8.shape["tp"],)}
