@@ -215,9 +215,10 @@ class MPSBackend(AQCBackend):
                 return self._shard(payload)
             return self._shard(mps_core.from_qiskit_mps(payload, chi))
         if circuit.data and circuit.data[0].name == "set_statevector":
-            raise ValueError(
-                "MPS backend received a raw statevector target; pass a circuit "
-                "or a Qiskit-format MPS instead")
+            # Aer's MPS simulator consumes initialize/set_statevector targets
+            # directly; import the dense vector via sequential SVDs
+            return self._shard(mps_core.from_dense(circuit.data[0].payload,
+                                                   chi))
         return self._shard(mps_core.zero_mps(n, chi))
 
     def run_tape(self, state, tape: Tape):

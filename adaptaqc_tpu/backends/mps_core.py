@@ -391,6 +391,51 @@ def to_dense(state: MPS) -> np.ndarray:
     return vec.reshape(-1)
 
 
+def from_dense(vec, chi: int, dtype=None) -> MPS:
+    """Exact Vidal-form MPS of a dense little-endian statevector via
+    sequential host SVDs (the Aer-MPS equivalent of consuming a
+    set_statevector / initialize target). Schmidt ranks above `chi` are
+    truncated with the discarded weight recorded in MPS.trunc."""
+    dtype = dtype or config.real_dtype()
+    v = np.asarray(vec, dtype=complex).ravel()
+    n = int(np.log2(v.size))
+    assert v.size == 2 ** n, "statevector length must be a power of 2"
+    v = v / np.linalg.norm(v)
+    # index = sum_i p_i 2^i -> tensor axes ordered (p_0, ..., p_{n-1})
+    t = v.reshape([2] * n).transpose(range(n)[::-1])
+
+    gre = np.zeros((n, 2, chi, chi))
+    gim = np.zeros((n, 2, chi, chi))
+    lam = np.zeros((n + 1, chi))
+    lam[0, 0] = lam[n, 0] = 1.0
+    discarded = 0.0
+
+    m = t.reshape(1, -1)
+    lam_left = np.ones(1)
+    for i in range(n):
+        chi_l = m.shape[0]
+        m = m.reshape(chi_l * 2, -1)
+        u, s, vh = np.linalg.svd(m, full_matrices=False)
+        keep = min(int((s > 1e-14).sum()) or 1, chi)
+        discarded += float((s[keep:] ** 2).sum())
+        u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+        s = s / np.linalg.norm(s)
+        a = u.reshape(chi_l, 2, keep)            # left-canonical site tensor
+        inv_l = np.where(lam_left > 1e-14, 1.0 / np.maximum(lam_left, 1e-30),
+                         0.0)
+        for p in (0, 1):
+            g = inv_l[:, None] * a[:, p, :]      # Gamma_i[p] = lam_i^+ A_i[p]
+            gre[i, p, :chi_l, :keep] = g.real
+            gim[i, p, :chi_l, :keep] = g.imag
+        if i < n - 1:
+            lam[i + 1, :keep] = s
+        lam_left = s
+        m = s[:, None] * vh
+    return MPS(C(jnp.asarray(gre, dtype), jnp.asarray(gim, dtype)),
+               jnp.asarray(lam, dtype),
+               jnp.asarray(discarded, dtype))
+
+
 def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
     """Import the Qiskit MPS format (list of (G0, G1) per site, list of
     lambda vectors per bond — constants.py:16-17) into padded Vidal form."""
