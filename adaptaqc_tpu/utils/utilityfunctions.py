@@ -128,13 +128,10 @@ def chi_1_mps_to_circuit(mps_or_qiskit_mps):
     return product_state_to_circuit(amps)
 
 
-# TenPy interop, available only when tenpy is installed (it is not in this
-# image; the engines speak the Qiskit MPS format directly).
-def tenpy_to_qiskit_mps(tenpy_mps):  # pragma: no cover - optional dep
-    raise ImportError("tenpy is not installed; convert via the Qiskit MPS "
-                      "format ((gammas, lambdas) tuples) instead")
-
-
-def qiskit_to_tenpy_mps(qiskit_mps, return_form: str = "SpinSite"):  # pragma: no cover
-    raise ImportError("tenpy is not installed; convert via the Qiskit MPS "
-                      "format ((gammas, lambdas) tuples) instead")
+# TenPy interop (utilityfunctions.py:291-385, 428-481). The TenPy->Qiskit
+# direction is pure layout code over the TenPy MPS protocol; only
+# qiskit_to_tenpy_mps needs the tenpy package installed.
+from .tenpy_interop import (check_flipped_basis_states,  # noqa: F401, E402
+                            qiskit_to_tenpy_mps,
+                            tenpy_chi_1_mps_to_circuit,
+                            tenpy_mps_to_statevector, tenpy_to_qiskit_mps)
