@@ -4,10 +4,12 @@ TPU-native replacement for the Aer MPS simulator + aqc_research.mps_operations
 stack the reference builds on (/root/reference/adaptaqc/backends/
 aer_mps_backend.py, SURVEY.md section 2.6). Design points:
 
- - Fixed, padded bond dimension: gam is a split-complex (n, 2, chi, chi)
-   tensor, lam is (n+1, chi) real with boundary lam[0] = lam[n] = e0. Static
-   shapes keep one compiled program per (n, chi) — no recompiles as the
-   circuit grows, unlike dynamic-chi CPU codes.
+ - Fixed, padded bond dimension: the per-site tensor stack is a
+   split-complex (n, 2, chi, chi) array of B-form tensors (Hastings update,
+   see _apply_2q_adjacent), lam is (n+1, chi) real with boundary
+   lam[0] = lam[n] = e0. Static shapes keep one compiled program per
+   (n, chi) — no recompiles as the circuit grows, unlike dynamic-chi CPU
+   codes.
  - Gate application on *traced* site indices via dynamic_slice, so a
    `lax.scan` over a tape executes any circuit. Non-adjacent 2q gates are
    routed with swap networks exactly like Aer does internally.
@@ -39,7 +41,11 @@ from .sv_core import build_u4
 
 
 class MPS(NamedTuple):
-    gam: C            # (n, 2, chi, chi)
+    # Right-weighted B-form site tensors B_i[p] = Gamma_i[p] diag(lam_{i+1})
+    # (Hastings, arXiv:0903.3253): storing B instead of Vidal's Gamma lets
+    # the 2q update avoid dividing by bond weights entirely, which is what
+    # keeps f32 evolution norm-stable under heavy truncation.
+    b: C              # (n, 2, chi, chi)
     lam: jnp.ndarray  # (n+1, chi) real
     # accumulated relative discarded Schmidt weight: every 2q apply adds
     # (||theta||_F^2 - sum kept s^2) / ||theta||_F^2. Nonzero means the
@@ -49,19 +55,19 @@ class MPS(NamedTuple):
 
     @property
     def n(self):
-        return self.gam.shape[0]
+        return self.b.shape[0]
 
     @property
     def chi(self):
-        return self.gam.shape[-1]
+        return self.b.shape[-1]
 
 
 def zero_mps(n: int, chi: int, dtype=None) -> MPS:
     dtype = dtype or config.real_dtype()
-    gre = jnp.zeros((n, 2, chi, chi), dtype).at[:, 0, 0, 0].set(1.0)
-    gam = C(gre, jnp.zeros((n, 2, chi, chi), dtype))
+    bre = jnp.zeros((n, 2, chi, chi), dtype).at[:, 0, 0, 0].set(1.0)
+    b = C(bre, jnp.zeros((n, 2, chi, chi), dtype))
     lam = jnp.zeros((n + 1, chi), dtype).at[:, 0].set(1.0)
-    return MPS(gam, lam, jnp.zeros((), dtype))
+    return MPS(b, lam, jnp.zeros((), dtype))
 
 
 def product_mps(amps: np.ndarray, chi: int, dtype=None) -> MPS:
@@ -69,22 +75,22 @@ def product_mps(amps: np.ndarray, chi: int, dtype=None) -> MPS:
     dtype = dtype or config.real_dtype()
     n = amps.shape[0]
     st = zero_mps(n, chi, dtype)
-    gre = st.gam.re.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].real, dtype))
-    gre = gre.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].real, dtype))
-    gim = st.gam.im.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].imag, dtype))
-    gim = gim.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].imag, dtype))
-    return MPS(C(gre, gim), st.lam, st.trunc)
+    bre = st.b.re.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].real, dtype))
+    bre = bre.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].real, dtype))
+    bim = st.b.im.at[:, 0, 0, 0].set(jnp.asarray(amps[:, 0].imag, dtype))
+    bim = bim.at[:, 1, 0, 0].set(jnp.asarray(amps[:, 1].imag, dtype))
+    return MPS(C(bre, bim), st.lam, st.trunc)
 
 
 def _pinv(v, eps=None):
-    eps = eps or config.LAMBDA_EPS
+    eps = eps or config.lambda_eps(v.dtype)
     return jnp.where(v > eps, 1.0 / jnp.maximum(v, eps), 0.0)
 
 
 def b_tensors(state: MPS) -> C:
-    """B_i[p] = Γ_i[p] diag(λ_{i+1}): (n, 2, chi, chi)."""
-    lr = state.lam[1:, None, None, :]  # (n, 1, 1, chi)
-    return C(state.gam.re * lr, state.gam.im * lr)
+    """The (natively stored) B-form tensors B_i[p] = Gamma_i[p]
+    diag(lam_{i+1}): (n, 2, chi, chi)."""
+    return state.b
 
 
 # ------------------------------------------------------------ gate application
@@ -92,37 +98,46 @@ def b_tensors(state: MPS) -> C:
 def _apply_1q_at(state: MPS, u2: C, q) -> MPS:
     chi = state.chi
     z = jnp.zeros_like(q)
-    site_re = lax.dynamic_slice(state.gam.re, (q, z, z, z), (1, 2, chi, chi))
-    site_im = lax.dynamic_slice(state.gam.im, (q, z, z, z), (1, 2, chi, chi))
+    site_re = lax.dynamic_slice(state.b.re, (q, z, z, z), (1, 2, chi, chi))
+    site_im = lax.dynamic_slice(state.b.im, (q, z, z, z), (1, 2, chi, chi))
     site = C(site_re[0], site_im[0])  # (2, chi, chi)
     new = cplx.einsum("pq,qab->pab", u2, site)
-    gre = lax.dynamic_update_slice(state.gam.re, new.re[None], (q, z, z, z))
-    gim = lax.dynamic_update_slice(state.gam.im, new.im[None], (q, z, z, z))
-    return MPS(C(gre, gim), state.lam, state.trunc)
+    bre = lax.dynamic_update_slice(state.b.re, new.re[None], (q, z, z, z))
+    bim = lax.dynamic_update_slice(state.b.im, new.im[None], (q, z, z, z))
+    return MPS(C(bre, bim), state.lam, state.trunc)
 
 
 def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
-    """Apply 4x4 u4 (r = 2*p_right + p_left) on adjacent sites (k, k+1)."""
+    """Apply 4x4 u4 (r = 2*p_right + p_left) on adjacent sites (k, k+1).
+
+    Hastings-style update (arXiv:0903.3253): both new site tensors are
+    produced WITHOUT dividing by any bond weight —
+      theta~ = B_l B_r                (no left lambda)
+      theta  = diag(lam_l) theta~ ; SVD theta = U S V^H
+      B_r'   = V^H
+      B_l'   = theta~ V / ||S||      (= inv(lam_l) U S / ||S|| exactly)
+    Inverting post-truncation lambdas is what makes plain Vidal TEBD drift
+    off norm in f32; this form stays norm-stable."""
     chi = state.chi
     z = jnp.zeros_like(k)
-    gre = lax.dynamic_slice(state.gam.re, (k, z, z, z), (2, 2, chi, chi))
-    gim = lax.dynamic_slice(state.gam.im, (k, z, z, z), (2, 2, chi, chi))
-    gl = C(gre[0], gim[0])  # (2, chi, chi) site k
-    gr = C(gre[1], gim[1])  # site k+1
-    lams = lax.dynamic_slice(state.lam, (k, z), (3, chi))
-    lam_l, lam_m, lam_r = lams[0], lams[1], lams[2]
+    bre = lax.dynamic_slice(state.b.re, (k, z, z, z), (2, 2, chi, chi))
+    bim = lax.dynamic_slice(state.b.im, (k, z, z, z), (2, 2, chi, chi))
+    bl = C(bre[0], bim[0])  # (2, chi, chi) site k
+    br = C(bre[1], bim[1])  # site k+1
+    lam_l = lax.dynamic_slice(state.lam, (k, z), (1, chi))[0]
 
-    # theta[a, pl, pr, b] with full surrounding lambdas
-    tl = C(gl.re * lam_l[None, :, None] * lam_m[None, None, :],
-           gl.im * lam_l[None, :, None] * lam_m[None, None, :])
-    tr = C(gr.re * lam_r[None, None, :], gr.im * lam_r[None, None, :])
-    theta = cplx.einsum("pac,qcb->apqb", tl, tr)  # (chi, 2, 2, chi)
-
+    theta_t = cplx.einsum("pac,qcb->apqb", bl, br)  # (chi, 2, 2, chi)
     u4r = u4.reshape(2, 2, 2, 2)  # [q, p, q', p']
-    theta = cplx.einsum("qpsr,arsb->apqb", u4r, theta)
+    theta_t = cplx.einsum("qpsr,arsb->apqb", u4r, theta_t)
+    theta = C(theta_t.re * lam_l[:, None, None, None],
+              theta_t.im * lam_l[:, None, None, None])
 
     m = theta.reshape(chi * 2, 2 * chi)  # rows (a,pl), cols (pr,b)
-    u, s, vh = cplx.svd_trunc(m, chi, threshold)
+    # floor the user threshold at the working precision's noise scale:
+    # f32 singular values below ~1e-7 are rounding artefacts
+    eff_threshold = max(float(threshold),
+                        0.1 * config.lambda_eps(state.lam.dtype))
+    u, s, vh = cplx.svd_trunc(m, chi, eff_threshold)
     # renormalise the kept spectrum (Aer renormalises after truncation)
     kept = jnp.sum(s * s)
     snorm = jnp.sqrt(kept)
@@ -131,20 +146,19 @@ def _apply_2q_adjacent(state: MPS, u4: C, k, threshold) -> MPS:
     total = jnp.sum(m.abs2())
     discarded = jnp.maximum(total - kept, 0.0) / jnp.maximum(total, 1e-30)
 
-    inv_l = _pinv(lam_l)
-    inv_r = _pinv(lam_r)
-    unew = u.reshape(chi, 2, chi)          # (a, pl, c)
-    gl_new = C(unew.re.transpose(1, 0, 2) * inv_l[None, :, None],
-               unew.im.transpose(1, 0, 2) * inv_l[None, :, None])
-    vnew = vh.reshape(chi, 2, chi)         # (c, pr, b)
-    gr_new = C(vnew.re.transpose(1, 0, 2) * inv_r[None, None, :],
-               vnew.im.transpose(1, 0, 2) * inv_r[None, None, :])
+    br_new = vh.reshape(chi, 2, chi).transpose(1, 0, 2)   # (pr, c, b)
+    # B_l' = theta~ V / ||S||: contract cols (pr, b) of theta~ with conj(vh)
+    mt = theta_t.reshape(chi * 2, 2 * chi)
+    bl_flat = mt @ vh.H                                   # (2chi, chi)
+    inv_norm = 1.0 / jnp.maximum(snorm, 1e-30)
+    bl_new = C(bl_flat.re.reshape(chi, 2, chi).transpose(1, 0, 2) * inv_norm,
+               bl_flat.im.reshape(chi, 2, chi).transpose(1, 0, 2) * inv_norm)
 
-    stack = cplx.stack([gl_new, gr_new])   # (2, 2, chi, chi)
-    gre2 = lax.dynamic_update_slice(state.gam.re, stack.re, (k, z, z, z))
-    gim2 = lax.dynamic_update_slice(state.gam.im, stack.im, (k, z, z, z))
+    stack = cplx.stack([bl_new, br_new])   # (2, 2, chi, chi)
+    bre2 = lax.dynamic_update_slice(state.b.re, stack.re, (k, z, z, z))
+    bim2 = lax.dynamic_update_slice(state.b.im, stack.im, (k, z, z, z))
     lam2 = lax.dynamic_update_slice(state.lam, s_new[None], (k + 1, z))
-    return MPS(C(gre2, gim2), lam2, state.trunc + discarded)
+    return MPS(C(bre2, bim2), lam2, state.trunc + discarded)
 
 
 _SWAP_NP = np.eye(4)[[0, 2, 1, 3]].astype(np.float64)
@@ -371,10 +385,8 @@ def all_pair_rdms(state: MPS):
 
 def to_dense(state: MPS) -> np.ndarray:
     """Contract to a 2^n statevector (host, for tests / small n)."""
-    gam = cplx.to_np(state.gam)
-    lam = np.asarray(state.lam)
-    n, _, chi, _ = gam.shape
-    b = gam * lam[1:, None, None, :]
+    b = cplx.to_np(state.b)
+    n, _, chi, _ = b.shape
     psi = b[0]  # (2, chi, chi), left bond 0 only
     acc = psi[:, 0, :]  # (2, chi) physical index of site 0 first
     # accumulate: acc[(p0...pk), c]
@@ -424,7 +436,8 @@ def from_dense(vec, chi: int, dtype=None) -> MPS:
         inv_l = np.where(lam_left > 1e-14, 1.0 / np.maximum(lam_left, 1e-30),
                          0.0)
         for p in (0, 1):
-            g = inv_l[:, None] * a[:, p, :]      # Gamma_i[p] = lam_i^+ A_i[p]
+            # B_i[p] = lam_i^+ A_i[p] diag(lam_{i+1}) (host f64, exact ranks)
+            g = inv_l[:, None] * a[:, p, :] * s[None, :]
             gre[i, p, :chi_l, :keep] = g.real
             gim[i, p, :chi_l, :keep] = g.imag
         if i < n - 1:
@@ -438,15 +451,20 @@ def from_dense(vec, chi: int, dtype=None) -> MPS:
 
 def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
     """Import the Qiskit MPS format (list of (G0, G1) per site, list of
-    lambda vectors per bond — constants.py:16-17) into padded Vidal form."""
+    lambda vectors per bond — constants.py:16-17): the stored Gamma tensors
+    fold the right bond weights in to become B-form."""
     dtype = dtype or config.real_dtype()
     gams, lams = qmps
     n = len(gams)
-    gre = np.zeros((n, 2, chi, chi))
-    gim = np.zeros((n, 2, chi, chi))
+    bre = np.zeros((n, 2, chi, chi))
+    bim = np.zeros((n, 2, chi, chi))
     lam = np.zeros((n + 1, chi))
     lam[0, 0] = lam[n, 0] = 1.0
+    for i, v in enumerate(lams):
+        v = np.asarray(v)
+        lam[i + 1, :v.size] = v
     for i, pair in enumerate(gams):
+        lam_r = lam[i + 1, :]
         for p in (0, 1):
             m = np.asarray(pair[p])
             if m.ndim == 1:
@@ -454,29 +472,30 @@ def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
             dl, dr = m.shape
             if dl > chi or dr > chi:
                 raise ValueError(f"bond dim {m.shape} exceeds padded chi={chi}")
-            gre[i, p, :dl, :dr] = m.real
-            gim[i, p, :dl, :dr] = m.imag
-    for i, v in enumerate(lams):
-        v = np.asarray(v)
-        lam[i + 1, :v.size] = v
-    return MPS(C(jnp.asarray(gre, dtype), jnp.asarray(gim, dtype)),
+            bre[i, p, :dl, :dr] = m.real * lam_r[:dr]
+            bim[i, p, :dl, :dr] = m.imag * lam_r[:dr]
+    return MPS(C(jnp.asarray(bre, dtype), jnp.asarray(bim, dtype)),
                jnp.asarray(lam, dtype), jnp.zeros((), dtype))
 
 
 def to_qiskit_mps(state: MPS):
-    """Export to the Qiskit MPS format, stripping bond padding."""
-    gam = cplx.to_np(state.gam)
-    lam = np.asarray(state.lam)
+    """Export to the Qiskit MPS format, stripping bond padding (Gamma
+    tensors are recovered host-side by unweighting the right bond — f64, so
+    no device-precision amplification)."""
+    b = cplx.to_np(state.b)
+    lam = np.asarray(state.lam, dtype=np.float64)
     n = state.n
     dims = [1]
     for i in range(1, n):
-        dims.append(max(int((lam[i] > 0).sum()), 1))
+        dims.append(max(int((lam[i] > 1e-14).sum()), 1))
     dims.append(1)
     gams = []
     lams = []
     for i in range(n):
         dl, dr = dims[i], dims[i + 1]
-        gams.append((gam[i, 0, :dl, :dr], gam[i, 1, :dl, :dr]))
+        lam_r = lam[i + 1, :dr] if i < n - 1 else np.ones(1)
+        inv_r = np.where(lam_r > 1e-14, 1.0 / np.maximum(lam_r, 1e-30), 0.0)
+        gams.append((b[i, 0, :dl, :dr] * inv_r, b[i, 1, :dl, :dr] * inv_r))
         if i < n - 1:
             lams.append(lam[i + 1, :dims[i + 1]])
     return gams, lams

@@ -37,6 +37,15 @@ def complex_dtype():
     return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
 
 
-# Minimum singular value considered nonzero when inverting bond weights in the
-# Vidal-form MPS update (Aer applies a similar regularisation internally).
+# Minimum singular value considered nonzero when inverting bond weights in
+# the Vidal-form MPS update (Aer applies a similar regularisation
+# internally). Must scale with the working precision: in f32, lambda values
+# below ~10 * machine-eps are pure rounding noise and inverting them
+# amplifies that noise into the Gamma tensors (observed as |<a|b>|^2 > 1
+# norm drift over hundreds of 2q applies at 50q).
 LAMBDA_EPS = 1e-12
+
+
+def lambda_eps(dtype):
+    import numpy as np
+    return 1e-12 if np.dtype(dtype).itemsize >= 8 else 1e-6

@@ -277,11 +277,20 @@ def eigh_top(h: C, keep: int):
         basis_re, basis_im, eig_out, count = carry
         v, wj = x  # v: C row (k,)
         basis = C(basis_re, basis_im)
-        # project out accepted basis vectors (unaccepted rows are zero)
-        ov = C(_mm(basis.re, v.re) + _mm(basis.im, v.im),
-               _mm(basis.re, v.im) - _mm(basis.im, v.re))  # <basis_m | v>
-        v_res = v - C(_mm(ov.re, basis.re) - _mm(ov.im, basis.im),
-                      _mm(ov.re, basis.im) + _mm(ov.im, basis.re))
+
+        def project_out(u):
+            # subtract the projection onto accepted basis vectors
+            # (unaccepted rows are zero)
+            ov = C(_mm(basis.re, u.re) + _mm(basis.im, u.im),
+                   _mm(basis.re, u.im) - _mm(basis.im, u.re))  # <basis_m|u>
+            return u - C(_mm(ov.re, basis.re) - _mm(ov.im, basis.im),
+                         _mm(ov.re, basis.im) + _mm(ov.im, basis.re))
+
+        # classical Gram-Schmidt re-orthogonalised ("twice is enough",
+        # Giraud et al.): a single CGS pass loses orthogonality in f32 for
+        # near-degenerate clusters, and non-orthonormal Schmidt vectors make
+        # repeated MPS bond updates drift off norm.
+        v_res = project_out(project_out(v))
         nrm = jnp.sqrt(jnp.sum(v_res.abs2()))
         accept = (nrm > 1e-3) & (count < keep)
         inv = jnp.where(accept, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)

@@ -129,7 +129,7 @@ class CostMinimiser:
             cost_history = []
             while cost > stop_val and cycles < max_cycles:
                 mask = self._cycle_mask(tape, full_mask, base_indices, rotoselect)
-                kinds, angles, cost_dev, _, evals = sweeps.sweep(
+                kinds, angles, cost_dev, _, evals, _ov2 = sweeps.sweep(
                     engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
                     jnp.asarray(mask))
                 comp.cost_evaluation_counter += int(evals)

@@ -55,12 +55,17 @@ class SweepEngine(NamedTuple):
 
 def _probe_and_update(engine, r_state, l_state, kind, q0, rotoselect: bool):
     """Closed-form best (kind, angle) for trainable gate k; returns
-    (new_kind, new_angle, cost_min, n_evals).
+    (new_kind, new_angle, overlap2_best, n_evals).
 
     For U(theta) = cos(theta/2) I - i sin(theta/2) P_axis:
-    z(theta) = cos(theta/2) tr(C) - i sin(theta/2) tr(P_axis C), and
-    cost(theta) = 1 - |z|^2 is the reference's sinusoid — its 3-point probes
-    are evaluated from the 2x2 local matrix C instead of re-simulating.
+    z(theta) = cos(theta/2) tr(C) - i sin(theta/2) tr(P_axis C), with the
+    2x2 local matrix C replacing the reference's 3 full re-simulations per
+    probe. The probes MAXIMISE |z(theta)|^2 (itself a sinusoid in theta)
+    rather than minimising 1 - |z|^2: at large n the overlap can sit far
+    below float precision of 1 (e.g. |z| ~ 1e-6 for the 50q random-MPS
+    workload), where the reference's cost form underflows to exactly 1.0
+    in f32 and kills the optimisation signal, while |z|^2 ~ 1e-12 is
+    perfectly representable.
     """
     Cm = engine.local_overlap(r_state, l_state, q0)  # cplx.C 2x2
     t_i = Cm[0, 0] + Cm[1, 1]
@@ -69,37 +74,39 @@ def _probe_and_update(engine, r_state, l_state, kind, q0, rotoselect: bool):
     t_z = Cm[0, 0] - Cm[1, 1]
     t_paulis = cplx.stack([t_x, t_y, t_z])
 
-    cost0 = 1.0 - t_i.abs2()
+    ov2_0 = t_i.abs2()
 
-    def axis_min(t_p):
+    def axis_best(t_p):
         # theta = +-pi/2: z = (t_i -+ i t_p)/sqrt(2)
-        half = 0.5
         ip = t_p.mul_i()
-        cp = 1.0 - (t_i - ip).abs2() * half
-        cm = 1.0 - (t_i + ip).abs2() * half
-        return minimum_of_sinusoidal_dev(cost0, cp, cm)
+        ov2_p = (t_i - ip).abs2() * 0.5
+        ov2_m = (t_i + ip).abs2() * 0.5
+        theta, neg_max = minimum_of_sinusoidal_dev(-ov2_0, -ov2_p, -ov2_m)
+        return theta, -neg_max
 
     if rotoselect:
-        thetas, costs = jax.vmap(axis_min)(t_paulis)
-        best = jnp.argmin(costs)
+        thetas, ov2s = jax.vmap(axis_best)(t_paulis)
+        best = jnp.argmax(ov2s)
         new_kind = (G.RX + best).astype(kind.dtype)
         new_angle = thetas[best]
-        cost_min = costs[best]
+        ov2_best = ov2s[best]
         n_evals = jnp.int32(7)  # 1 identity + 2 per axis (cost_minimiser.py:318-342)
     else:
         axis = jnp.clip(kind - G.RX, 0, 2)
-        theta, cost_min = axis_min(t_paulis[axis])
+        theta, ov2_best = axis_best(t_paulis[axis])
         new_kind = kind
         new_angle = theta
         n_evals = jnp.int32(3)
-    return new_kind, new_angle, cost_min, n_evals
+    return new_kind, new_angle, ov2_best, n_evals
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
           prefix_state, ref_state, kinds, q0s, q1s, angles, select):
     """One Rotosolve/Rotoselect cycle over the tape. Returns
-    (new_kinds, new_angles, final_cost, final_state, n_evals)."""
+    (new_kinds, new_angles, final_cost, final_state, n_evals, final_ov2)
+    where final_ov2 = |<ref|final>|^2 (cancellation-free; final_cost is
+    1 - final_ov2 and pins at 1.0 in f32 once the overlap is tiny)."""
     Gp = kinds.shape[0]
     BL = min(block_len, Gp)
     assert Gp % BL == 0, f"padded tape length {Gp} not a multiple of {BL}"
@@ -131,7 +138,7 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
 
     # ---- phase B: forward sweep -------------------------------------------
     def block_fwd(carry, xs):
-        l_state, cost_last, evals = carry
+        l_state, ov2_last, evals = carry
         ck, xk, xq0, xq1, xang, xsel = xs
 
         # regenerate the BL right-states of this block from its checkpoint
@@ -144,7 +151,7 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
         r_buf = jax.tree.map(lambda v: jnp.flip(v, 0), r_rev)  # r_buf[i] = R for gate i
 
         def gate_fwd(c, x):
-            l_state, cost_last, evals = c
+            l_state, ov2_last, evals = c
             k, a, b, th, sel, r_state = x
 
             def probed():
@@ -152,26 +159,26 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
                                          rotoselect)
 
             def skipped():
-                return k, th, cost_last, jnp.int32(0)
+                return k, th, ov2_last, jnp.int32(0)
 
-            nk, na, cmin, ne = lax.cond(sel, probed, skipped)
+            nk, na, ov2, ne = lax.cond(sel, probed, skipped)
             l_state = engine.apply(l_state, nk, a, b, na)
-            return (l_state, cmin, evals + ne), (nk, na)
+            return (l_state, ov2, evals + ne), (nk, na)
 
-        (l_state, cost_last, evals), (nks, nas) = lax.scan(
-            gate_fwd, (l_state, cost_last, evals),
+        (l_state, ov2_last, evals), (nks, nas) = lax.scan(
+            gate_fwd, (l_state, ov2_last, evals),
             (xk, xq0, xq1, xang, xsel, r_buf))
-        return (l_state, cost_last, evals), (nks, nas)
+        return (l_state, ov2_last, evals), (nks, nas)
 
-    init = (prefix_state, jnp.asarray(1.0, angles.dtype), jnp.int32(0))
-    (l_state, cost_last, evals), (nks, nas) = lax.scan(
+    init = (prefix_state, jnp.asarray(0.0, angles.dtype), jnp.int32(0))
+    (l_state, ov2_last, evals), (nks, nas) = lax.scan(
         block_fwd, init, (ckpts, bk, bq0, bq1, bang, bsel))
 
     new_kinds = nks.reshape(Gp)
     new_angles = nas.reshape(Gp)
-    final_ov = engine.overlap(ref_state, l_state)
-    final_cost = 1.0 - final_ov.abs2()
-    return new_kinds, new_angles, final_cost, l_state, evals
+    final_ov2 = engine.overlap(ref_state, l_state).abs2()
+    final_cost = 1.0 - final_ov2
+    return new_kinds, new_angles, final_cost, l_state, evals, final_ov2
 
 
 def default_block_len(padded_len: int) -> int:
@@ -199,8 +206,12 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
 
     Replicates CostMinimiser.minimize_cost's cycle loop
     (cost_minimiser.py:90-105): evaluate the current cost, then sweep while
-    cost > stop_val, cycles < max_cycles, and the last-3-cost linear fit
-    still improves by `tol`. One host<->device round trip per minimize_cost
+    cost > stop_val, cycles < max_cycles, and the optimisation still
+    improves by `tol`. Improvement is tested on BOTH the cost history (the
+    reference's criterion — sensitive near cost 0 where the overlap
+    saturates) and the overlap^2 history (sensitive in the tiny-overlap
+    regime where f32 cost pins at exactly 1.0): cycles continue while either
+    signal is still moving. One host<->device round trip per minimize_cost
     call instead of one per cycle.
 
     Returns (kinds, angles, final_cost, cycles, evals).
@@ -214,26 +225,32 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
         return s
 
     init_state = apply_all(prefix_state, kinds, q0s, q1s, angles)
-    init_ov = engine.overlap(ref_state, init_state)
-    cost0 = 1.0 - init_ov.abs2()
+    ov2_0 = engine.overlap(ref_state, init_state).abs2()
+    cost0 = 1.0 - ov2_0
 
     big = jnp.asarray(1e30, angles.dtype)
 
     def cond(carry):
-        k, a, cost, hist, cycle, evals = carry
+        k, a, cost, hist, ov2_hist, cycle, evals = carry
         not_done = (cost > stop_val) & (cycle < max_cycles)
-        improving = jnp.where(cycle > 3,
-                              ~_stopped_improving_dev(hist, tol), True)
+        cost_stopped = _stopped_improving_dev(hist, tol)
+        # overlap^2 grows when improving: stopped when relative growth < tol
+        ov2_slope = (ov2_hist[2] - ov2_hist[0]) / 2.0
+        ov2_mean = jnp.abs(ov2_hist[0] + ov2_hist[1] + ov2_hist[2]) / 3.0
+        ov2_stopped = ov2_slope / jnp.maximum(ov2_mean, 1e-30) < tol
+        improving = jnp.where(cycle > 3, ~(cost_stopped & ov2_stopped), True)
         return not_done & improving
 
     def body(carry):
-        k, a, cost, hist, cycle, evals = carry
-        k, a, cost, _, ev = sweep(engine, block_len, rotoselect, prefix_state,
-                                  ref_state, k, q0s, q1s, a, select)
+        k, a, cost, hist, ov2_hist, cycle, evals = carry
+        k, a, cost, _, ev, ov2 = sweep(engine, block_len, rotoselect,
+                                       prefix_state, ref_state, k, q0s, q1s,
+                                       a, select)
         hist = jnp.stack([hist[1], hist[2], cost])
-        return (k, a, cost, hist, cycle + 1, evals + ev)
+        ov2_hist = jnp.stack([ov2_hist[1], ov2_hist[2], ov2])
+        return (k, a, cost, hist, ov2_hist, cycle + 1, evals + ev)
 
     init = (kinds, angles, cost0, jnp.stack([big, big, big]),
-            jnp.int32(0), jnp.int32(1))
-    k, a, cost, hist, cycles, evals = lax.while_loop(cond, body, init)
+            jnp.zeros(3, angles.dtype), jnp.int32(0), jnp.int32(1))
+    k, a, cost, hist, ov2_hist, cycles, evals = lax.while_loop(cond, body, init)
     return k, a, cost, cycles, evals

@@ -67,11 +67,11 @@ def shard_mps(mesh: Mesh, state, axis: str = "tp"):
     from ..backends import mps_core
     if state.chi % mesh.shape[axis] != 0:
         return replicate(mesh, state)
-    gam_sh = NamedSharding(mesh, P(None, None, None, axis))
+    b_sh = NamedSharding(mesh, P(None, None, None, axis))
     lam_sh = NamedSharding(mesh, P(None, axis))
     return mps_core.MPS(
-        C(jax.device_put(state.gam.re, gam_sh),
-          jax.device_put(state.gam.im, gam_sh)),
+        C(jax.device_put(state.b.re, b_sh),
+          jax.device_put(state.b.im, b_sh)),
         jax.device_put(state.lam, lam_sh),
         jax.device_put(state.trunc, NamedSharding(mesh, P())))
 
@@ -110,7 +110,7 @@ def make_training_step(mesh: Mesh, n: int, padded_len: int,
     @jax.jit
     def step(prefix: C, kinds, q0, q1, angles, select, pairs):
         ref = sv_core.zero_state(n, prefix.dtype)
-        nk, na, cost, l_state, evals = sweeps.sweep(
+        nk, na, cost, l_state, evals, _ov2 = sweeps.sweep(
             engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles, select)
         rhos = sv_core.all_pair_rdms(l_state, pairs)  # C (P, 4, 4)
         return nk, na, cost, rhos, evals

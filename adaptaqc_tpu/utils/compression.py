@@ -23,62 +23,96 @@ from ..ops.cplx import C
 logger = logging.getLogger(__name__)
 
 
-def _environments(target: mps_core.MPS, s_amps: C):
-    """Single-site environments E_i[p] of <s|psi> for all sites at once.
+def _sequential_sweep(target: mps_core.MPS, s_amps: C):
+    """One left-to-right Gauss-Seidel compression sweep of <s|psi>.
 
-    s_amps: C (n, 2) product-state amplitudes of |s>.
-    Returns C (n, 2): E_i[p] = (prefix_i) B_i[p] (suffix_i).
+    Each site takes the (conjugated, normalised) single-site environment
+    built from the ALREADY-UPDATED sites to its left and the previous
+    iteration's sites to its right — the same sequential update TenPy's
+    variational compression performs (simultaneous Jacobi updates oscillate
+    and converge to poor fixed points on generic MPS).
+
+    Returns (new_amps C (n, 2), |<s_new|psi>|).
     """
     bt = mps_core.b_tensors(target)  # (n, 2, chi, chi)
     chi = target.chi
     dt = target.lam.dtype
 
-    # contracted site vectors: M_i = sum_p conj(s_i[p]) B_i[p]  (chi, chi)
-    m = cplx.einsum("ip,ipab->iab", s_amps.conj(), bt)
-
+    # suffix environments with the OLD amplitudes:
+    # suffixes[i] = (prod_{k>i} M_k) e0, with M_k = sum_p conj(s_k[p]) B_k[p]
+    m_old = cplx.einsum("ip,ipab->iab", s_amps.conj(), bt)
     v0 = cplx.zeros((chi,), dt)
     v0 = C(v0.re.at[0].set(1.0), v0.im)
 
-    def fwd(v, mi):
-        nv = cplx.einsum("a,ab->b", v, mi)
-        return nv, v
-
-    _, prefixes = jax.lax.scan(fwd, v0, m)
-
     def bwd(v, mi):
-        nv = cplx.einsum("ab,b->a", mi, v)
-        return nv, v
+        return cplx.einsum("ab,b->a", mi, v), v
 
-    _, suf_rev = jax.lax.scan(bwd, v0, jax.tree.map(lambda x: jnp.flip(x, 0), m))
+    _, suf_rev = jax.lax.scan(bwd, v0,
+                              jax.tree.map(lambda x: jnp.flip(x, 0), m_old))
     suffixes = jax.tree.map(lambda x: jnp.flip(x, 0), suf_rev)
 
-    # E_i[p] = prefix_i . B_i[p] . suffix_i
-    env = cplx.einsum("ia,ipab,ib->ip", prefixes, bt, suffixes)
-    return env
+    def fwd(prefix, x):
+        bt_i, suf_i = x
+        env = cplx.einsum("a,pab,b->p", prefix, bt_i, suf_i)  # E_i[p]
+        nrm = jnp.sqrt(jnp.sum(env.abs2()))
+        inv = jnp.where(nrm > 1e-30, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+        new_amp = C(env.re * inv, -env.im * inv)  # conj(E)/||E||
+        m_new = cplx.einsum("p,pab->ab", new_amp.conj(), bt_i)
+        return cplx.einsum("a,ab->b", prefix, m_new), new_amp
+
+    prefix_end, new_amps = jax.lax.scan(fwd, v0, (bt, suffixes))
+    return new_amps, prefix_end[0].abs()
+
+
+def _site_rdm_eigvecs(target: mps_core.MPS) -> np.ndarray:
+    """(n, 2) dominant eigenvector of every single-site RDM — the natural
+    mean-field initial guess for the compression sweep."""
+    bt = mps_core.b_tensors(target)
+    lam2 = target.lam[:-1] ** 2
+    rho = cplx.einsum("ia,ipab,iqab->ipq", lam2, bt, bt.conj())  # (n, 2, 2)
+    rho_np = cplx.to_np(rho)
+    amps = np.empty((target.n, 2), dtype=complex)
+    for i in range(target.n):
+        w, v = np.linalg.eigh(rho_np[i])
+        amps[i] = v[:, -1]
+    return amps
 
 
 def best_product_state(target: mps_core.MPS, sweeps: int = 50,
-                       min_sweeps: int = 10, tol: float = 1e-10) -> np.ndarray:
-    """(n, 2) complex product-state amplitudes maximising |<s|psi>|."""
+                       min_sweeps: int = 5, tol: float = 1e-10,
+                       restarts: int = 2, seed: int = 0) -> np.ndarray:
+    """(n, 2) complex product-state amplitudes maximising |<s|psi>|.
+
+    Variational compression is a local optimisation; the sweep is run from
+    the mean-field (single-site RDM) initial guess, from |0...0>, and from
+    `restarts` random product states, keeping the best."""
     n = target.n
-    amps = np.zeros((n, 2), dtype=complex)
-    amps[:, 0] = 1.0
-    env_fn = jax.jit(_environments)
-    prev = 0.0
-    for it in range(sweeps):
-        env = env_fn(target, cplx.from_np(amps, target.lam.dtype))
-        env_np = cplx.to_np(env)  # (n, 2); E_i computed with OLD s everywhere
-        # Jacobi-style update: each site takes its conjugated environment.
-        norms = np.linalg.norm(env_np, axis=1, keepdims=True)
-        nz = norms[:, 0] > 1e-30
-        amps[nz] = np.conj(env_np[nz]) / norms[nz]
-        overlap = float(np.abs(cplx.to_np(
-            mps_core.mps_dot(mps_core.product_mps(amps, target.chi), target))))
-        if it + 1 >= min_sweeps and abs(overlap - prev) < tol:
-            break
-        prev = overlap
-    logger.info(f"chi=1 compression overlap |<s|psi>| = {prev:.6f}")
-    return amps
+    sweep_fn = jax.jit(_sequential_sweep)
+    rng = np.random.default_rng(seed)
+
+    zero_init = np.zeros((n, 2), dtype=complex)
+    zero_init[:, 0] = 1.0
+    inits = [_site_rdm_eigvecs(target), zero_init]
+    for _ in range(restarts):
+        r = rng.normal(size=(n, 2)) + 1j * rng.normal(size=(n, 2))
+        inits.append(r / np.linalg.norm(r, axis=1, keepdims=True))
+
+    best_amps, best_overlap = None, -1.0
+    for init in inits:
+        amps = init
+        prev = 0.0
+        for it in range(sweeps):
+            new_amps, overlap_dev = sweep_fn(
+                target, cplx.from_np(amps, target.lam.dtype))
+            amps = cplx.to_np(new_amps)
+            overlap = float(overlap_dev)
+            if it + 1 >= min_sweeps and abs(overlap - prev) < tol:
+                break
+            prev = overlap
+        if overlap > best_overlap:
+            best_amps, best_overlap = amps, overlap
+    logger.info(f"chi=1 compression overlap |<s|psi>| = {best_overlap:.6f}")
+    return best_amps
 
 
 def product_state_to_circuit(amps: np.ndarray) -> Circuit:

@@ -115,8 +115,8 @@ def chi_1_mps_to_circuit(mps_or_qiskit_mps):
         lam = np.asarray(state.lam)
         if np.any(np.sum(lam > 0, axis=1) > 1):
             raise Exception("MPS must have bond dimension 1 for all bonds.")
-        gam = cplx.to_np(state.gam)
-        amps = gam[:, :, 0, 0]
+        # chi=1: the B tensors ARE the per-site amplitudes (all lam = 1)
+        amps = cplx.to_np(state.b)[:, :, 0, 0]
     else:
         gams, lams = mps_or_qiskit_mps
         for v in lams:

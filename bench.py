@@ -9,29 +9,53 @@ probe: a full-circuit MPS simulation + overlap in Aer
 the same sequential angle updates from cached environments, so evals/sec =
 (probe evaluations implied by reference semantics) / wall-clock.
 
-Baseline (vs_baseline denominator): the reference publishes no throughput
-numbers (BASELINE.md). Estimated Aer-MPS-on-CPU throughput for the same
-workload: each probe re-simulates ~60 active two-qubit-gate layers at
-chi<=64 on 50 qubits (~1 ms/gate-SVD in Aer's C++), i.e. ~60 ms/eval ->
-~16 evals/s. vs_baseline = measured / 16.0 (estimate, not a measured
-reference run — qiskit/Aer is not installed in this image).
+vs_baseline denominator: a MEASURED run of the identical sweep program on
+CPU-JAX (one process-isolated worker run, cached in
+benchmarks/cpu_baseline.json — delete that file to re-measure). This is a
+proxy for the reference's Aer-MPS-on-CPU engine: same algorithmic work, same
+host CPU. The reference itself publishes no throughput numbers (BASELINE.md).
+
+Also reports a FLOP model (chi^3 contraction/SVD counts per sweep, see
+`sweep_flop_model`): achieved FLOP/s and model FLOP utilisation (MFU)
+against the chip's bf16 peak quantify how far the sweep sits from
+speed-of-light. (XLA's cost_analysis is NOT used: it counts while/scan
+bodies once, so it undercounts loop-heavy programs by the trip count.)
 
 Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "cpu_baseline.json")
+
+# bf16 MXU peak per chip by device kind (jax-ml.github.io/scaling-book).
+# The sweep's matmuls run split-complex f32 at Precision.HIGHEST, so MFU vs
+# the bf16 peak understates the f32-relative utilisation by the 6-pass
+# factor; report both references.
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def build_workload(n, chi, window_layers):
+    """(prefix MPS, ansatz tape, sweep callable pieces) for the paper-scale
+    workload: a layered random-entangling 50q target + a window of
+    thinly-dressed CNOT layers to Rotoselect over."""
     import jax
     import jax.numpy as jnp
     from adaptaqc_tpu.circuits.circuit import Circuit
@@ -39,15 +63,6 @@ def main():
     from adaptaqc_tpu.backends import mps_core
     from adaptaqc_tpu.optim import sweeps
 
-    n = int(os.environ.get("BENCH_N", 50))
-    chi = int(os.environ.get("BENCH_CHI", 64))
-    window_layers = int(os.environ.get("BENCH_LAYERS", 12))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
-
-    log(f"bench: n={n} chi={chi} devices={jax.devices()}")
-
-    # Target: a layered random-entangling circuit (a 50q random-MPS state,
-    # the paper/random_mps workload shape).
     rng = np.random.default_rng(0)
     target = Circuit(n)
     for q in range(n):
@@ -60,15 +75,14 @@ def main():
     ttape = compile_tape(target)
     t0 = time.time()
     prefix = mps_core.apply_tape(mps_core.zero_mps(n, chi),
-                                 jnp.asarray(ttape.kinds), jnp.asarray(ttape.q0),
-                                 jnp.asarray(ttape.q1), jnp.asarray(ttape.angles),
-                                 1e-16)
+                                 jnp.asarray(ttape.kinds),
+                                 jnp.asarray(ttape.q0),
+                                 jnp.asarray(ttape.q1),
+                                 jnp.asarray(ttape.angles), 1e-16)
     jax.block_until_ready(prefix.lam)
     log(f"target MPS build: {time.time() - t0:.1f}s "
         f"({ttape.length} gates, incl. compile)")
 
-    # Active window: `window_layers` thinly-dressed CNOT layers (the ansatz
-    # the ADAPT loop optimises each iteration).
     ansatz = Circuit(n)
     for _ in range(window_layers):
         a = int(rng.integers(n - 1))
@@ -81,35 +95,159 @@ def main():
     engine = mps_core.sweep_engine(1e-16)
     bl = sweeps.default_block_len(atape.padded_length)
     ref = mps_core.zero_mps(n, chi)
-    args = (jnp.asarray(atape.q0), jnp.asarray(atape.q1))
+    return prefix, ref, engine, bl, atape
+
+
+def sweep_flop_model(n, chi, tape):
+    """Real-FLOP count of one Rotoselect sweep over `tape` at bond dim chi.
+
+    Conventions: a complex GEMM (m,k)x(k,n) in split-complex form is 4 real
+    GEMMs = 8mkn real FLOPs. Dominant terms per sweep (optim/sweeps.py):
+
+    - gate applies: every tape gate is applied ~3x (backward checkpoint
+      pass + per-block right-state regeneration + forward apply). A 2q
+      apply (mps_core._apply_2q_adjacent) costs
+        theta build        8*(2chi*chi*2chi)        = 32 chi^3
+        theta^H theta      8*(2chi)^3               = 64 chi^3
+        eigh of 4chi embed ~9*(4chi)^3              = 576 chi^3
+        U = theta V        8*(2chi*2chi*chi)        = 32 chi^3
+        Gram-Schmidt scan  ~24 chi^3
+      ~ 728 chi^3 real FLOPs; 1q applies are O(chi^2), ignored.
+    - probes: each trainable rotation probes the 2x2 local overlap matrix
+      (mps_core.local_overlap_matrix): prefix + suffix transfer scans over
+      all n sites, each site 2 physical x 2 complex GEMMs (chi,chi)^3
+      = 32 chi^3 -> 64 n chi^3 per probe.
+    """
+    from adaptaqc_tpu.circuits import gates as G
+    kinds = np.asarray(tape.kinds)
+    n_2q = int(np.sum((kinds == G.CX) | (kinds == G.CZ) | (kinds == G.SWAP)
+                      | (kinds >= G.N_KINDS)))
+    n_rot = int(np.sum(np.asarray(tape.trainable)))
+    apply_flops = 3 * n_2q * 728 * chi ** 3
+    probe_flops = n_rot * 64 * n * chi ** 3
+    return float(apply_flops + probe_flops)
+
+
+def run_sweep_benchmark(n, chi, window_layers, iters):
+    """Returns (evals_per_sec, evals_per_sweep, dt_seconds, flops_per_sweep)."""
+    import jax
+    import jax.numpy as jnp
+    from adaptaqc_tpu.optim import sweeps
+
+    prefix, ref, engine, bl, atape = build_workload(n, chi, window_layers)
+    q0, q1 = jnp.asarray(atape.q0), jnp.asarray(atape.q1)
     sel = jnp.asarray(atape.trainable)
     kinds, angles = jnp.asarray(atape.kinds), jnp.asarray(atape.angles)
 
+    flops_per_sweep = sweep_flop_model(n, chi, atape)
+
     t0 = time.time()
-    out = sweeps.sweep(engine, bl, True, prefix, ref, kinds, args[0], args[1],
+    out = sweeps.sweep(engine, bl, True, prefix, ref, kinds, q0, q1,
                        angles, sel)
     jax.block_until_ready(out[2])
     log(f"first sweep (incl. compile): {time.time() - t0:.1f}s")
 
     evals_per_sweep = int(out[4])
-    t0 = time.time()
     k, a = out[0], out[1]
+    t0 = time.time()
     for _ in range(iters):
-        out = sweeps.sweep(engine, bl, True, prefix, ref, k, args[0], args[1],
-                           a, sel)
+        out = sweeps.sweep(engine, bl, True, prefix, ref, k, q0, q1, a, sel)
         k, a = out[0], out[1]
     jax.block_until_ready(out[2])
     dt = (time.time() - t0) / iters
-    evals_per_sec = evals_per_sweep / dt
     log(f"steady sweep: {dt * 1e3:.1f} ms, {evals_per_sweep} equivalent "
         f"evals/sweep, cost {float(out[2]):.6f}")
+    return evals_per_sweep / dt, evals_per_sweep, dt, flops_per_sweep
 
-    baseline_evals_per_sec = 16.0  # estimated Aer-MPS CPU (see docstring)
+
+def measured_cpu_baseline(n, chi, window_layers):
+    """Measured CPU-JAX evals/s for the identical sweep, via a subprocess
+    with JAX_PLATFORMS=cpu; cached in benchmarks/cpu_baseline.json."""
+    key = f"n{n}_chi{chi}_w{window_layers}"
+    try:
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            log(f"cpu baseline (cached): {cache[key]['evals_per_sec']:.1f} "
+                "evals/s")
+            return cache[key]["evals_per_sec"], True
+    except OSError:
+        cache = {}
+
+    log("measuring cpu-jax baseline (subprocess)...")
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "BENCH_BASELINE_WORKER": "1",
+                "BENCH_N": str(n), "BENCH_CHI": str(chi),
+                "BENCH_LAYERS": str(window_layers)})
+    # keep the axon site off the path so the TPU plugin cannot latch
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True,
+                          timeout=1800)
+    if proc.returncode != 0:
+        log(f"cpu baseline worker failed (rc={proc.returncode}); tail: "
+            f"{proc.stderr[-500:]}")
+        return None, False
+    value = json.loads(proc.stdout.strip().splitlines()[-1])["evals_per_sec"]
+    cache[key] = {"evals_per_sec": value,
+                  "note": "measured CPU-JAX sweep on this host"}
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    log(f"cpu baseline (measured): {value:.1f} evals/s")
+    return value, False
+
+
+def main():
+    import jax
+
+    n = int(os.environ.get("BENCH_N", 50))
+    chi = int(os.environ.get("BENCH_CHI", 64))
+    window_layers = int(os.environ.get("BENCH_LAYERS", 12))
+
+    if os.environ.get("BENCH_BASELINE_WORKER"):
+        jax.config.update("jax_platforms", "cpu")
+        evals_per_sec, _, _, _ = run_sweep_benchmark(n, chi, window_layers,
+                                                     iters=2)
+        print(json.dumps({"evals_per_sec": round(evals_per_sec, 1)}))
+        return
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    device = jax.devices()[0]
+    log(f"bench: n={n} chi={chi} devices={jax.devices()}")
+
+    evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
+        n, chi, window_layers, iters)
+
+    extras = {}
+    if flops:
+        achieved = flops / dt
+        extras["flops_per_sweep"] = round(flops)
+        extras["achieved_tflops"] = round(achieved / 1e12, 3)
+        peak = PEAK_BF16_FLOPS.get(device.device_kind)
+        if peak:
+            extras["mfu_vs_bf16_peak"] = round(achieved / peak, 5)
+            log(f"FLOP model: {flops / 1e9:.2f} GFLOP/sweep, "
+                f"{achieved / 1e12:.3f} TFLOP/s achieved, "
+                f"MFU {100 * achieved / peak:.2f}% of bf16 peak "
+                f"({device.device_kind}; f32 HIGHEST matmuls pay a ~6x "
+                "multi-pass factor vs bf16)")
+
+    baseline, cached = measured_cpu_baseline(n, chi, window_layers)
+    if baseline:
+        extras["baseline_cpu_jax_evals_per_sec"] = baseline
+        extras["baseline_kind"] = ("measured CPU-JAX sweep"
+                                   + (" (cached)" if cached else ""))
+        vs_baseline = round(evals_per_sec / baseline, 2)
+    else:
+        vs_baseline = None
+
     print(json.dumps({
         "metric": "overlap_cost_evals_per_sec_50q_mps",
         "value": round(evals_per_sec, 1),
         "unit": "equivalent cost evaluations / second (n=%d, chi=%d)" % (n, chi),
-        "vs_baseline": round(evals_per_sec / baseline_evals_per_sec, 2),
+        "vs_baseline": vs_baseline,
+        **extras,
     }))
 
 

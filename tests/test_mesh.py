@@ -56,7 +56,7 @@ class TestTrainingStep:
         engine = sv_core.sweep_engine()
         bl = sweeps.default_block_len(tape.padded_length)
         ref = sv_core.zero_state(n)
-        nk0, na0, cost0, l_state, _ = sweeps.sweep(
+        nk0, na0, cost0, l_state, _, _ = sweeps.sweep(
             engine, bl, True, sv_core.zero_state(n), ref,
             jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
             jnp.asarray(tape.q1), jnp.asarray(tape.angles),

@@ -133,10 +133,10 @@ def test_mps_sweep_matches_sv_sweep(rotoselect):
             jnp.asarray(tape.q1), jnp.asarray(tape.angles), jnp.asarray(sel))
     bl = sweeps.default_block_len(tape.padded_length)
 
-    nk_sv, na_sv, cost_sv, _, _ = sweeps.sweep(
+    nk_sv, na_sv, cost_sv, _, _, _ = sweeps.sweep(
         sv_core.sweep_engine(), bl, rotoselect,
         sv_core.zero_state(n), sv_core.zero_state(n), *args)
-    nk_m, na_m, cost_m, _, _ = sweeps.sweep(
+    nk_m, na_m, cost_m, _, _, _ = sweeps.sweep(
         mps_core.sweep_engine(THR), bl, rotoselect,
         mps_core.zero_mps(n, 8), mps_core.zero_mps(n, 8), *args)
 

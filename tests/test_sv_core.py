@@ -125,7 +125,7 @@ def test_sweep_matches_bruteforce(rotoselect):
 
     engine = sv_core.sweep_engine()
     bl = sweeps.default_block_len(tape.padded_length)
-    nk, na, cost, _, evals = sweeps.sweep(
+    nk, na, cost, _, evals, _ = sweeps.sweep(
         engine, bl, rotoselect, sv_core.zero_state(n), sv_core.zero_state(n),
         jnp.asarray(tape.kinds), jnp.asarray(tape.q0), jnp.asarray(tape.q1),
         jnp.asarray(tape.angles), jnp.asarray(sel))
@@ -146,3 +146,38 @@ def test_sweep_matches_bruteforce(rotoselect):
     s_dev = simulate(qc_dev)
     assert abs((1.0 - abs(s_dev[0]) ** 2) - float(cost)) < 1e-10
     assert int(evals) == len(sel_indices) * (7 if rotoselect else 3)
+
+
+def test_sweep_recovers_tiny_overlap_f32():
+    """Tiny-overlap regime (the 50q random-MPS workload in miniature): the
+    prefix state's overlap with |0...0> is ~1e-6, so the reference's cost
+    1 - |z|^2 rounds to exactly 1.0 in f32 and carries no signal. The sweep
+    probes work in the |z|^2 domain and must still recover the state."""
+    n = 12
+    theta = 2 * np.arccos(10 ** (-0.5))  # cos(theta/2)^n = 1e-6
+    qc = Circuit(n)
+    for q in range(n):
+        qc.ry(theta, q)
+    ttape = compile_tape(qc)
+    prefix = sv_core.apply_tape(
+        sv_core.zero_state(n, jnp.float32),
+        jnp.asarray(ttape.kinds), jnp.asarray(ttape.q0),
+        jnp.asarray(ttape.q1), jnp.asarray(ttape.angles, jnp.float32))
+    ov0 = float(sv_core.overlap(sv_core.zero_state(n, jnp.float32),
+                                prefix).abs2())
+    assert ov0 < 1e-10                                  # overlap^2 ~ 1e-12
+    assert np.float32(1.0) - np.float32(ov0) == 1.0     # f32 cost is pinned
+
+    ansatz = Circuit(n)
+    for q in range(n):
+        ansatz.ry(0.0, q)
+    atape = compile_tape(ansatz)
+    engine = sv_core.sweep_engine()
+    bl = sweeps.default_block_len(atape.padded_length)
+    _, _, cost, _, _, ov2 = sweeps.sweep(
+        engine, bl, False, prefix, sv_core.zero_state(n, jnp.float32),
+        jnp.asarray(atape.kinds), jnp.asarray(atape.q0),
+        jnp.asarray(atape.q1), jnp.asarray(atape.angles, jnp.float32),
+        jnp.asarray(atape.trainable))
+    assert float(ov2) > 0.99
+    assert float(cost) < 0.01

@@ -86,11 +86,10 @@ def _random_vidal(n, seed, shuffle_bond=None):
     vec /= np.linalg.norm(vec)
     chi = 2 ** ((n + 1) // 2)
     state = mps_core.from_dense(vec, chi)
-    gam = cplx.to_np(state.gam)
-    lam = np.asarray(state.lam)
-    dims = [1] + [max(int((lam[i] > 1e-12).sum()), 1) for i in range(1, n)] + [1]
-    gammas = [gam[i][:, :dims[i], :dims[i + 1]].copy() for i in range(n)]
-    lambdas = [lam[i + 1][:dims[i + 1]].copy() for i in range(n - 1)]
+    qgams, qlams = mps_core.to_qiskit_mps(state)
+    dims = [1] + [v.size for v in qlams] + [1]
+    gammas = [np.stack([qgams[i][0], qgams[i][1]]) for i in range(n)]
+    lambdas = [np.asarray(v) for v in qlams]
     if shuffle_bond is not None and dims[shuffle_bond + 1] > 1:
         k = shuffle_bond
         perm = rng.permutation(dims[k + 1])
