@@ -311,6 +311,7 @@ class SamplingBackend(AQCBackend):
         self._sv = SVBackend()
         self._key = jax.random.PRNGKey(seed)
         self.host_rng = np.random.default_rng(seed)
+        self._jit_cache = {}
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -379,12 +380,16 @@ class SamplingBackend(AQCBackend):
         return self._sample_state(state, shots or self.shots, n)
 
     def _sample_state(self, state, shots: int, n: int):
-        probs = np.asarray(state.abs2(), dtype=np.float64)
-        probs = np.maximum(probs, 0)
-        probs /= probs.sum()
-        draws = np.asarray(jax.random.categorical(
-            self._next_key(), jnp.log(jnp.asarray(probs) + 1e-30),
-            shape=(shots,)))
+        # categorical draws happen ON DEVICE from unnormalised log-probs, so
+        # the host transfer is (shots,) indices rather than the full 2^n
+        # probability vector per evaluation
+        key = ("sample", state.re.shape, shots)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda s, k: jax.random.categorical(
+                k, jnp.log(s.abs2() + 1e-30), shape=(shots,)))
+            self._jit_cache[key] = fn
+        draws = np.asarray(fn(state, self._next_key()))
         vals, cnts = np.unique(draws, return_counts=True)
         return {format(int(v), f"0{n}b"): int(c) for v, c in zip(vals, cnts)}
 

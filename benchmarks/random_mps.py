@@ -47,22 +47,24 @@ def random_target(seed: int, n=50, chi=2):
     return gams, lams
 
 
-def compile_target(qmps, max_chi=16, sufficient_cost=1e-2, max_layers=400,
+def compile_target(qmps, max_chi=32, sufficient_cost=1e-2, max_layers=400,
                    method="general_gradient"):
     from adaptaqc_tpu import AdaptCompiler, AdaptConfig, mps_backend_with_args
     from adaptaqc_tpu.utils.ansatzes import identity_resolvable
     from adaptaqc_tpu.utils.constants import CMAP_LINEAR, generate_coupling_map
 
     n = len(qmps[0])
+    # reference-default rotosolve schedule (rotosolve_frequency=1,
+    # max_layers_to_modify=100): the trailing window is re-optimised after
+    # every layer — weakening this (e.g. frequency 10 / window 10) plateaus
+    # well short of 0.99 overlap on the paper targets
     config = AdaptConfig(
         method=method,
-        rotosolve_frequency=10,
-        max_layers_to_modify=10,
         cost_improvement_num_layers=50,
         sufficient_cost=sufficient_cost,
         max_layers=max_layers,
     )
-    backend = mps_backend_with_args(mps_truncation_threshold=1e-10,
+    backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
                                     max_chi=max_chi)
     compiler = AdaptCompiler(
         qmps, backend=backend, adapt_config=config,
