@@ -129,6 +129,94 @@ def remove_unnecessary_1q_gates_from_circuit(circuit: Circuit,
         del circuit.data[index]
 
 
+_CONSOLIDATABLE_2Q = ("cx", "cz", "swap")
+
+
+def _supported_for_consolidation(instr: Instruction) -> bool:
+    if len(instr.qubits) == 1:
+        try:
+            G.u1q_np(instr.name, instr.params[0] if instr.params else 0.0)
+            return True
+        except (ValueError, TypeError):
+            return False
+    return len(instr.qubits) == 2 and instr.name in _CONSOLIDATABLE_2Q
+
+
+def consolidate_2q_blocks(circuit: Circuit, gate_range=None) -> None:
+    """Collect maximal contiguous runs of gates confined to one qubit pair,
+    compute each run's 4x4 unitary and resynthesise it via the KAK
+    decomposition into at most 3 CX (circuits/kak.py), keeping the rewrite
+    only when it reduces the 2q-gate count. The consolidation half of the
+    reference's advanced_circuit_transpilation O2 transpile
+    (optimisation.py:207-231)."""
+    from .kak import circuit_to_matrix_2q, decompose_2q_unitary
+    from .circuit import create_1q_gate, create_2q_gate
+
+    if gate_range is None:
+        gate_range = (0, len(circuit.data))
+    start, end = gate_range
+
+    runs = []  # (start_index, end_index_exclusive, (lo, hi))
+    run_start, span = None, set()
+    for i in range(start, end):
+        instr = circuit.data[i]
+        qs = set(instr.qubits)
+        if not _supported_for_consolidation(instr):
+            if run_start is not None:
+                runs.append((run_start, i, span))
+            run_start, span = None, set()
+            continue
+        if run_start is None:
+            run_start, span = i, set(qs)
+        elif len(span | qs) <= 2:
+            span = span | qs
+        else:
+            runs.append((run_start, i, span))
+            run_start, span = i, set(qs)
+    if run_start is not None:
+        runs.append((run_start, end, span))
+
+    for run_s, run_e, qubits in reversed(runs):
+        if len(qubits) != 2:
+            continue
+        segment = circuit.data[run_s:run_e]
+        old_2q = sum(1 for g in segment if len(g.qubits) == 2)
+        if old_2q < 2:
+            continue  # a rewrite can never beat 0 or 1 CX
+        lo, hi = sorted(qubits)
+        local = Circuit(2)
+        for g in segment:
+            mapped = tuple(0 if q == lo else 1 for q in g.qubits)
+            local.data.append(Instruction(g.name, mapped, g.params))
+        replacement = decompose_2q_unitary(circuit_to_matrix_2q(local))
+        new_2q = sum(1 for g in replacement.data if len(g.qubits) == 2)
+        if new_2q >= old_2q and not (new_2q == old_2q
+                                     and len(replacement.data) < len(segment)):
+            continue
+        new_instrs = []
+        for g in replacement.data:
+            qs = tuple(lo if q == 0 else hi for q in g.qubits)
+            if len(qs) == 1:
+                new_instrs.append(create_1q_gate(g.name, g.params[0], qs[0]))
+            else:
+                new_instrs.append(create_2q_gate(g.name, *qs))
+        circuit.data[run_s:run_e] = new_instrs
+
+
+def advanced_circuit_transpilation(circuit: Circuit, coupling_map=None,
+                                   gate_range=None) -> None:
+    """O2-transpile analogue (optimisation.py:207-231): KAK block
+    consolidation + peephole to fixpoint. Synthesis only emits CX on pairs
+    the input already coupled, so any coupling-map restriction of the input
+    is preserved by construction."""
+    consolidate_2q_blocks(circuit, gate_range)
+    remove_unnecessary_gates_from_circuit(circuit, True, False,
+                                          gate_range=None if gate_range is None
+                                          else (gate_range[0],
+                                                min(gate_range[1],
+                                                    len(circuit.data))))
+
+
 def remove_unnecessary_2q_gates_from_circuit(circuit: Circuit,
                                              gate_range=None) -> None:
     """Cancel adjacent identical cx/cy/cz pairs (optimisation.py:167-204)."""

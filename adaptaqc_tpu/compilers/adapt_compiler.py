@@ -461,9 +461,11 @@ class AdaptCompiler(ApproximateCompiler):
                 multi_indexes = self._calculate_multi_layer_optimisation_indices(
                     ansatz_start_index)
                 if self.use_advanced_transpilation:
+                    from ..circuits.peephole import advanced_circuit_transpilation
                     variational = co.extract_inner_circuit(
                         self.full_circuit, self.variational_circuit_range())
-                    remove_unnecessary_gates_from_circuit(variational, True, False)
+                    advanced_circuit_transpilation(variational,
+                                                   self.coupling_map)
                     co.replace_inner_circuit(self.full_circuit, variational,
                                              self.variational_circuit_range())
                     self._invalidate_current()

@@ -233,6 +233,21 @@ def main():
                 f"({device.device_kind}; f32 HIGHEST matmuls pay a ~6x "
                 "multi-pass factor vs bf16)")
 
+    # convergence evidence from recorded paper-workload runs
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks", "results_random_mps.jsonl")
+    try:
+        records = [json.loads(line) for line in open(results_path)]
+        paper = [r for r in records if r.get("source") == "reference paper target"]
+        if paper:
+            extras["random_mps_50q_runs"] = len(paper)
+            extras["random_mps_50q_best_overlap"] = max(r["overlap"]
+                                                        for r in paper)
+            extras["random_mps_50q_converged"] = sum(r["overlap"] > 0.99
+                                                     for r in paper)
+    except OSError:
+        pass
+
     baseline, cached = measured_cpu_baseline(n, chi, window_layers)
     if baseline:
         extras["baseline_cpu_jax_evals_per_sec"] = baseline

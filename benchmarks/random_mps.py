@@ -79,19 +79,39 @@ def compile_target(qmps, max_chi=32, sufficient_cost=1e-2, max_layers=400,
 
 
 def main():
+    import json
+    import os
     seeds = [int(s) for s in sys.argv[1:]] or [1]
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "results_random_mps.jsonl")
     for seed in seeds:
         try:
             qmps = load_target(seed)
+            source = "reference paper target"
         except OSError:
             qmps = random_target(seed)
+            source = "synthetic fallback"
         result, wall = compile_target(qmps)
         layers = len(result.qubit_pair_history)
+        record = {
+            "seed": seed,
+            "source": source,
+            "n_qubits": len(qmps[0]),
+            "overlap": round(result.overlap, 4),
+            "layers": layers,
+            "num_2q_gates": result.num_2q_gates,
+            "cnot_depth": result.cnot_depth_history[-1],
+            "cost_evaluations": result.cost_evaluations,
+            "wall_seconds": round(wall, 1),
+            "evals_per_sec": round(result.cost_evaluations / wall, 1),
+        }
         print(f"seed {seed}: overlap={result.overlap:.4f} layers={layers} "
               f"2q_gates={result.num_2q_gates} "
               f"cnot_depth={result.cnot_depth_history[-1]} "
               f"evals={result.cost_evaluations} wall={wall:.1f}s "
               f"({result.cost_evaluations / wall:.0f} evals/s)")
+        with open(results_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":
