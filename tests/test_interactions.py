@@ -1,0 +1,168 @@
+"""Mock-based interaction tests (SURVEY section 4.3): assert WHICH engine
+call happens, not values — mirroring the reference's unittest.mock strategy
+(test_approximate_compiler.py:24-76, test_adapt_compiler.py:468-485,
+:951-975, test_entanglement_measures.py:53-91)."""
+
+from unittest.mock import patch
+
+import numpy as np
+import pytest
+
+from adaptaqc_tpu.backends import mps_core
+from adaptaqc_tpu.backends.backend import MPSBackend, SamplingBackend, SVBackend
+from adaptaqc_tpu.circuits.circuit import Circuit
+from adaptaqc_tpu.compilers.adapt_compiler import AdaptCompiler
+from adaptaqc_tpu.compilers.adapt_config import AdaptConfig
+
+
+def _bell_plus_spectator():
+    qc = Circuit(3)
+    qc.h(0)
+    qc.cx(0, 1)
+    qc.ry(0.4, 2)
+    return qc
+
+
+class TestCostDispatch:
+    def test_global_cost_dispatch(self):
+        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend())
+        with patch.object(compiler.backend, "evaluate_global_cost",
+                          return_value=0.5) as mock:
+            compiler.evaluate_cost()
+        mock.assert_called_once()
+
+    def test_local_cost_dispatch(self):
+        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend(),
+                                 optimise_local_cost=True)
+        with patch.object(compiler.backend, "evaluate_local_cost",
+                          return_value=0.5) as mock:
+            compiler.evaluate_cost()
+        mock.assert_called_once()
+
+    def test_cost_evaluation_counter_increments(self):
+        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend())
+        before = compiler.cost_evaluation_counter
+        compiler.evaluate_cost()
+        compiler.evaluate_cost()
+        assert compiler.cost_evaluation_counter == before + 2
+
+
+class TestIslEngineInteractions:
+    def test_evals_not_computed_when_entanglement_suffices(self):
+        """ISL with nonzero entanglement never falls back to the
+        expectation heuristic (ref test_adapt_compiler.py:468-485)."""
+        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend())
+        with patch.object(compiler.backend,
+                          "measure_qubit_expectation_values") as mock:
+            ems = compiler._get_all_qubit_pair_entanglement_measures()
+            compiler.entanglement_measures_history.append(ems)
+            pair = compiler._find_best_entanglement_qubit_pair(ems)
+        mock.assert_not_called()
+        assert pair == (0, 1)  # the Bell pair carries all the entanglement
+
+    def test_expectation_fallback_when_no_entanglement(self):
+        """Product-state target: every pair is below the threshold, so the
+        expectation heuristic must be consulted (adapt_compiler.py:858-921)."""
+        qc = Circuit(3)
+        qc.x(0)
+        compiler = AdaptCompiler(qc, backend=SVBackend())
+        with patch.object(
+                compiler.backend, "measure_qubit_expectation_values",
+                wraps=compiler.backend.measure_qubit_expectation_values
+        ) as mock:
+            ems = compiler._get_all_qubit_pair_entanglement_measures()
+            compiler.entanglement_measures_history.append(ems)
+            compiler._find_best_entanglement_qubit_pair(ems)
+        mock.assert_called_once()
+        assert compiler.pair_selection_method_history[-1] == "expectation"
+
+    def test_mps_backend_uses_mps_rdms(self):
+        qc = Circuit(3)
+        qc.h(0)
+        qc.cx(0, 1)
+        backend = MPSBackend()
+        compiler = AdaptCompiler(qc, backend=backend)
+        with patch.object(backend, "all_pair_rdms",
+                          wraps=backend.all_pair_rdms) as mock:
+            compiler._get_all_qubit_pair_entanglement_measures()
+        mock.assert_called_once()
+        state = mock.call_args[0][0]
+        assert isinstance(state, mps_core.MPS)
+
+
+class TestMpsTargetPrecompute:
+    def test_target_simulated_once_at_init(self):
+        """The target circuit is pre-simulated into one cached MPS at
+        construction (approximate_compiler.py:196-204) and cost evaluations
+        never re-simulate it."""
+        qc = _bell_plus_spectator()
+        backend = MPSBackend()
+        with patch.object(backend, "mps_from_compiler_target",
+                          wraps=backend.mps_from_compiler_target) as mock:
+            compiler = AdaptCompiler(qc, backend=backend)
+            mock.assert_called_once()
+            compiler.evaluate_cost()
+            compiler.evaluate_cost()
+            mock.assert_called_once()
+        assert compiler.circuit_to_compile.data[0].name == "set_mps"
+
+    def test_prefix_state_cached_across_cost_evaluations(self):
+        qc = _bell_plus_spectator()
+        backend = SVBackend()
+        compiler = AdaptCompiler(qc, backend=backend)
+        compiler.evaluate_cost()
+        with patch.object(backend, "initial_state",
+                          wraps=backend.initial_state) as mock:
+            compiler.evaluate_cost()
+            compiler.evaluate_cost()
+        mock.assert_not_called()
+
+
+class TestSofteningGates:
+    def test_hamming1_only_computed_when_softened(self):
+        qc = _bell_plus_spectator()
+        with patch.object(mps_core, "hamming1_overlaps",
+                          wraps=mps_core.hamming1_overlaps) as mock:
+            plain = AdaptCompiler(qc, backend=MPSBackend())
+            plain.global_cost_history = []
+            plain.backend.evaluate_global_cost(plain)
+            mock.assert_not_called()
+
+            softened = AdaptCompiler(qc, backend=MPSBackend(),
+                                     soften_global_cost=True)
+            softened.global_cost_history = []
+            softened.backend.evaluate_global_cost(softened)
+            mock.assert_called_once()
+
+    def test_sv_backend_rejects_softening(self):
+        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend(),
+                                 soften_global_cost=True)
+        with pytest.raises(NotImplementedError):
+            compiler.evaluate_cost()
+
+
+class TestSamplingInteractions:
+    def test_counts_routed_through_noise_path_only_with_model(self):
+        from adaptaqc_tpu.circuits.running import create_noisemodel
+        qc = Circuit(2)
+        qc.h(0)
+        backend = SamplingBackend(shots=256, seed=0)
+        clean = AdaptCompiler(qc, backend=backend)
+        with patch.object(backend, "_noisy_state",
+                          wraps=backend._noisy_state) as mock:
+            clean.evaluate_cost()
+            mock.assert_not_called()
+        noisy = AdaptCompiler(
+            qc, backend=backend,
+            execute_kwargs={"noise_model": create_noisemodel(
+                1, 1, log_fidelities=False)})
+        with patch.object(backend, "_noisy_state",
+                          wraps=backend._noisy_state) as mock:
+            noisy.evaluate_cost()
+        assert mock.call_count >= 1
+
+    def test_shots_from_execute_kwargs(self):
+        backend = SamplingBackend(seed=0)
+        AdaptCompiler(Circuit(2), backend=backend,
+                      execute_kwargs={"shots": 123})
+        assert backend.shots == 123
