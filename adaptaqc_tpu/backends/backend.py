@@ -239,7 +239,10 @@ class MPSBackend(AQCBackend):
         return compiler._current_state()
 
     def sweep_engine(self):
-        return mps_core.sweep_engine(self.truncation_threshold)
+        # pallas kernels are single-device programs; sharded runs stay on
+        # the GSPMD-partitionable XLA path
+        return mps_core.sweep_engine(self.truncation_threshold,
+                                     allow_pallas=self.mesh is None)
 
     def zero_ref(self, compiler):
         n = compiler.full_circuit.num_qubits

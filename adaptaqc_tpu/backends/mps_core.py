@@ -518,11 +518,48 @@ def check_mps(obj) -> bool:
     return False
 
 
-def sweep_engine(threshold: float):
-    from ..optim.sweeps import SweepEngine
-    apply_gate, apply_adj = make_apply(threshold)
-    return SweepEngine(f"mps[{threshold}]", apply_gate, apply_adj,
-                       local_overlap_matrix, mps_dot)
+def _pallas_available() -> bool:
+    import os
+    if os.environ.get("ADAPTAQC_NO_PALLAS"):
+        return False
+    try:
+        import jax as _jax
+        dev = _jax.devices()[0]
+        return dev.platform in ("tpu", "axon") or \
+            str(getattr(dev, "device_kind", "")).startswith("TPU")
+    except Exception:
+        return False
+
+
+def _local_overlap_dispatch(r_state: MPS, l_state: MPS, q) -> C:
+    """local_overlap_matrix, routed to the fused Pallas env-chain kernel
+    when the site tensors fit VMEM (ops/pallas_env.py) — ~2.5x faster than
+    the XLA scan on TPU. Shape/dtype checks are static at trace time."""
+    from ..ops import pallas_env
+    if pallas_env.supported(r_state.n, r_state.chi, r_state.lam.dtype):
+        return pallas_env.env_chain(b_tensors(r_state), b_tensors(l_state), q)
+    return local_overlap_matrix(r_state, l_state, q)
+
+
+_ENGINE_CACHE = {}
+
+
+def sweep_engine(threshold: float, allow_pallas: bool = True):
+    """SweepEngine for this threshold. Cached: jax.jit hashes the engine's
+    function fields by identity, so returning fresh closures per call would
+    silently retrace every sweep program on every minimize_cost call."""
+    use_pallas = allow_pallas and _pallas_available()
+    key = (float(threshold), use_pallas)
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        from ..optim.sweeps import SweepEngine
+        apply_gate, apply_adj = make_apply(threshold)
+        overlap_fn = _local_overlap_dispatch if use_pallas \
+            else local_overlap_matrix
+        engine = SweepEngine(f"mps[{threshold},pallas={use_pallas}]",
+                             apply_gate, apply_adj, overlap_fn, mps_dot)
+        _ENGINE_CACHE[key] = engine
+    return engine
 
 
 def batched_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs):

@@ -204,7 +204,14 @@ def jitted_run(n: int):
     return run
 
 
+_ENGINE = None
+
+
 def sweep_engine() -> "SweepEngine":
-    from ..optim.sweeps import SweepEngine
-    return SweepEngine("sv", apply_gate, apply_gate_adjoint,
-                       local_overlap_matrix, overlap)
+    """Cached singleton — fresh closures would retrace the jitted sweep."""
+    global _ENGINE
+    if _ENGINE is None:
+        from ..optim.sweeps import SweepEngine
+        _ENGINE = SweepEngine("sv", apply_gate, apply_gate_adjoint,
+                              local_overlap_matrix, overlap)
+    return _ENGINE

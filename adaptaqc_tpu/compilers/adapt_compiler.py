@@ -60,7 +60,8 @@ class AdaptCompiler(ApproximateCompiler):
                  use_advanced_transpilation=False, rotosolve_fraction=1.0,
                  perform_final_minimisation=False, optimise_local_cost=False,
                  soften_global_cost=False, debug_log_full_ansatz=False,
-                 initial_single_qubit_layer=False, **_compat):
+                 initial_single_qubit_layer=False, profile_dir=None,
+                 **_compat):
         backend = backend if backend is not None else SVBackend()
         super().__init__(target=target, initial_state=None, backend=backend,
                          execute_kwargs=execute_kwargs,
@@ -108,6 +109,11 @@ class AdaptCompiler(ApproximateCompiler):
         self.time_taken = None
         self.debug_log_full_ansatz = debug_log_full_ansatz
         self.initial_single_qubit_layer = initial_single_qubit_layer
+        # tracing/profiling (SURVEY section 5): per-phase wall-clock totals,
+        # and an optional jax.profiler trace of the whole compile
+        self.profile_dir = profile_dir
+        self.phase_timings = {"pair_selection": 0.0, "layer_optimisation": 0.0,
+                              "window_rotosolve": 0.0, "absorption": 0.0}
 
         if self.is_mps_backend:
             # gates absorbed into the MPS prefix still need to appear in the
@@ -160,6 +166,21 @@ class AdaptCompiler(ApproximateCompiler):
                 checkpoint_dir="checkpoint/", delete_prev_chkpt=False,
                 freeze_prev_layers=False) -> AdaptResult:
         """Main adaptive loop (adapt_compiler.py:246-482)."""
+        if self.profile_dir:
+            import jax
+            with jax.profiler.trace(self.profile_dir):
+                return self._compile_impl(initial_ansatz,
+                                          optimise_initial_ansatz,
+                                          checkpoint_every, checkpoint_dir,
+                                          delete_prev_chkpt,
+                                          freeze_prev_layers)
+        return self._compile_impl(initial_ansatz, optimise_initial_ansatz,
+                                  checkpoint_every, checkpoint_dir,
+                                  delete_prev_chkpt, freeze_prev_layers)
+
+    def _compile_impl(self, initial_ansatz, optimise_initial_ansatz,
+                      checkpoint_every, checkpoint_dir, delete_prev_chkpt,
+                      freeze_prev_layers) -> AdaptResult:
         start_time = timeit.default_timer()
         if self.resume_from_layer is None:
             self.time_taken = 0
@@ -343,6 +364,7 @@ class AdaptCompiler(ApproximateCompiler):
         # observability extra over the reference: how much Schmidt weight the
         # MPS engine dropped (None for non-MPS backends; 0.0 = exact)
         result.mps_truncated_weight = mps_truncated_weight
+        result.phase_timings = dict(self.phase_timings)
         logger.info("ADAPT-AQC completed")
         return result
 
@@ -453,9 +475,12 @@ class AdaptCompiler(ApproximateCompiler):
                 alg = vconstants.ALG_ROTOSELECT
             else:
                 alg = vconstants.ALG_ROTOSOLVE
+            t0 = timeit.default_timer()
             cost = self.minimizer.minimize_cost(
                 algorithm_kind=alg, tol=self.adapt_config.rotoselect_tol,
                 stop_val=stop_val, indexes_to_modify=layer_indexes)
+            self.phase_timings["layer_optimisation"] += \
+                timeit.default_timer() - t0
             if (self.adapt_config.rotosolve_frequency != 0 and index > 0
                     and index % self.adapt_config.rotosolve_frequency == 0):
                 multi_indexes = self._calculate_multi_layer_optimisation_indices(
@@ -469,16 +494,20 @@ class AdaptCompiler(ApproximateCompiler):
                     co.replace_inner_circuit(self.full_circuit, variational,
                                              self.variational_circuit_range())
                     self._invalidate_current()
+                t0 = timeit.default_timer()
                 cost = self.minimizer.minimize_cost(
                     algorithm_kind=vconstants.ALG_ROTOSOLVE,
                     tol=self.adapt_config.rotosolve_tol, stop_val=stop_val,
                     indexes_to_modify=multi_indexes)
+                self.phase_timings["window_rotosolve"] += \
+                    timeit.default_timer() - t0
         else:
             cost = self.minimizer.minimize_cost(
                 algorithm_kind=vconstants.ALG_PYBOBYQA,
                 alg_kwargs={"seek_global_minimum": True})
 
         if self.is_mps_backend:
+            t0 = timeit.default_timer()
             self.layers_as_gates.append(index)
             num_to_absorb = self._calculate_num_layers_to_absorb(index)
             if num_to_absorb > 0:
@@ -489,6 +518,7 @@ class AdaptCompiler(ApproximateCompiler):
                 gates_absorbed = self._absorb_n_gates_into_mps(num_gates)
                 co.add_to_circuit(self.layers_saved_to_mps, gates_absorbed)
                 del self.layers_as_gates[:num_to_absorb]
+            self.phase_timings["absorption"] += timeit.default_timer() - t0
         return cost
 
     def _calculate_num_layers_to_absorb(self, index):
@@ -523,7 +553,9 @@ class AdaptCompiler(ApproximateCompiler):
     def _add_entangling_layer(self, index):
         """adapt_compiler.py:743-759."""
         logger.debug("scoring candidate qubit pairs")
+        t0 = timeit.default_timer()
         control, target = self._find_appropriate_qubit_pair()
+        self.phase_timings["pair_selection"] += timeit.default_timer() - t0
         logger.debug(f"selected pair {(control, target)}")
         co.add_to_circuit(self.full_circuit, self.get_layer_2q_gate(index),
                           self.variational_circuit_range()[1],

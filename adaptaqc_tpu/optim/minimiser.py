@@ -104,7 +104,8 @@ class CostMinimiser:
         prefix = comp._prefix_state()
         ref = comp.backend.zero_ref(comp)
         engine = comp.backend.sweep_engine()
-        bl = sweeps.default_block_len(tape.padded_length)
+        bl = sweeps.default_block_len(tape.padded_length,
+                                      sweeps.state_nbytes(prefix))
 
         kinds = jnp.asarray(tape.kinds)
         angles = jnp.asarray(tape.angles)

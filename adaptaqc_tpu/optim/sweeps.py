@@ -120,21 +120,26 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
 
     # ---- phase A: backward pass producing NB block checkpoints ------------
     # ckpts[b] = R state with adjoints of all gates in blocks > b applied,
-    # i.e. R_upto[(b+1)*BL].
-    def block_back(state, xs):
-        ck = state
+    # i.e. R_upto[(b+1)*BL]. With a single block the only checkpoint is the
+    # reference state itself — skip the pass (1/3 of all gate applies).
+    if NB == 1:
+        ckpts = jax.tree.map(lambda v: v[None], ref_state)
+    else:
+        def block_back(state, xs):
+            ck = state
 
-        def gate_back(s, x):
-            k, a, b, th = x
-            return engine.apply_adjoint(s, k, a, b, th), None
+            def gate_back(s, x):
+                k, a, b, th = x
+                return engine.apply_adjoint(s, k, a, b, th), None
 
-        rev = jax.tree.map(lambda v: jnp.flip(v, 0), xs)
-        state, _ = lax.scan(gate_back, state, rev)
-        return state, ck
+            rev = jax.tree.map(lambda v: jnp.flip(v, 0), xs)
+            state, _ = lax.scan(gate_back, state, rev)
+            return state, ck
 
-    blocks_rev = jax.tree.map(lambda v: jnp.flip(v, 0), (bk, bq0, bq1, bang))
-    _, cks = lax.scan(block_back, ref_state, blocks_rev)
-    ckpts = jax.tree.map(lambda v: jnp.flip(v, 0), cks)  # ckpts[b]
+        blocks_rev = jax.tree.map(lambda v: jnp.flip(v, 0),
+                                  (bk, bq0, bq1, bang))
+        _, cks = lax.scan(block_back, ref_state, blocks_rev)
+        ckpts = jax.tree.map(lambda v: jnp.flip(v, 0), cks)  # ckpts[b]
 
     # ---- phase B: forward sweep -------------------------------------------
     def block_fwd(carry, xs):
@@ -181,13 +186,30 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
     return new_kinds, new_angles, final_cost, l_state, evals, final_ov2
 
 
-def default_block_len(padded_len: int) -> int:
-    """sqrt-ish block size; padded bucket lengths are powers of two times 3,
-    so 8/16/32 divide them."""
+def default_block_len(padded_len: int, state_bytes: int = None,
+                      memory_budget: int = None) -> int:
+    """Block size for the right-environment checkpointing.
+
+    When the whole tape's R-state buffer fits in `memory_budget` HBM
+    (default 4 GB, env ADAPTAQC_SWEEP_MEMORY_BUDGET), use ONE block: the
+    backward checkpoint pass is then skipped entirely, cutting gate applies
+    per sweep from 3G to 2G. Otherwise fall back to the sqrt-style block
+    size (O((G/BL + BL) * state) memory)."""
+    if state_bytes:
+        import os
+        budget = memory_budget or int(float(os.environ.get(
+            "ADAPTAQC_SWEEP_MEMORY_BUDGET", 4e9)))
+        if padded_len * state_bytes <= budget:
+            return padded_len
     for bl in (32, 16, 8, 4, 2, 1):
         if padded_len % bl == 0 and bl * bl <= 4 * padded_len:
             return bl
     return 1
+
+
+def state_nbytes(state) -> int:
+    """Total bytes of one engine state pytree."""
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(state))
 
 
 def _stopped_improving_dev(hist3, rel_tol):
@@ -254,3 +276,22 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
             jnp.zeros(3, angles.dtype), jnp.int32(0), jnp.int32(1))
     k, a, cost, hist, ov2_hist, cycles, evals = lax.while_loop(cond, body, init)
     return k, a, cost, cycles, evals
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def sweep_n_cycles(engine: SweepEngine, block_len: int, rotoselect: bool,
+                   cycles: int, prefix_state, ref_state, kinds, q0s, q1s,
+                   angles, select):
+    """Exactly `cycles` sweeps fused into ONE device call (no convergence
+    test) — the benchmarking / fixed-budget variant of
+    sweep_until_converged. Returns (kinds, angles, final_cost, evals)."""
+    def body(carry, _):
+        k, a, evals = carry
+        k, a, cost, _, ev, ov2 = sweep(engine, block_len, rotoselect,
+                                       prefix_state, ref_state, k, q0s, q1s,
+                                       a, select)
+        return (k, a, evals + ev), cost
+
+    (k, a, evals), costs = lax.scan(body, (kinds, angles, jnp.int32(0)),
+                                    None, length=cycles)
+    return k, a, costs[-1], evals

@@ -93,19 +93,21 @@ def build_workload(n, chi, window_layers):
         ansatz.rz(0.1, a + 1)
     atape = compile_tape(ansatz)
     engine = mps_core.sweep_engine(1e-16)
-    bl = sweeps.default_block_len(atape.padded_length)
     ref = mps_core.zero_mps(n, chi)
+    bl = sweeps.default_block_len(atape.padded_length,
+                                  sweeps.state_nbytes(ref))
     return prefix, ref, engine, bl, atape
 
 
-def sweep_flop_model(n, chi, tape):
+def sweep_flop_model(n, chi, tape, single_block=False):
     """Real-FLOP count of one Rotoselect sweep over `tape` at bond dim chi.
 
     Conventions: a complex GEMM (m,k)x(k,n) in split-complex form is 4 real
     GEMMs = 8mkn real FLOPs. Dominant terms per sweep (optim/sweeps.py):
 
-    - gate applies: every tape gate is applied ~3x (backward checkpoint
-      pass + per-block right-state regeneration + forward apply). A 2q
+    - gate applies: every tape gate is applied 3x (backward checkpoint
+      pass + per-block right-state regeneration + forward apply), or 2x
+      when the whole tape fits one block (phase A skipped). A 2q
       apply (mps_core._apply_2q_adjacent) costs
         theta build        8*(2chi*chi*2chi)        = 32 chi^3
         theta^H theta      8*(2chi)^3               = 64 chi^3
@@ -123,7 +125,8 @@ def sweep_flop_model(n, chi, tape):
     n_2q = int(np.sum((kinds == G.CX) | (kinds == G.CZ) | (kinds == G.SWAP)
                       | (kinds >= G.N_KINDS)))
     n_rot = int(np.sum(np.asarray(tape.trainable)))
-    apply_flops = 3 * n_2q * 728 * chi ** 3
+    passes = 2 if single_block else 3  # single-block sweeps skip phase A
+    apply_flops = passes * n_2q * 728 * chi ** 3
     probe_flops = n_rot * 64 * n * chi ** 3
     return float(apply_flops + probe_flops)
 
@@ -139,24 +142,32 @@ def run_sweep_benchmark(n, chi, window_layers, iters):
     sel = jnp.asarray(atape.trainable)
     kinds, angles = jnp.asarray(atape.kinds), jnp.asarray(atape.angles)
 
-    flops_per_sweep = sweep_flop_model(n, chi, atape)
+    flops_per_sweep = sweep_flop_model(n, chi, atape,
+                                       single_block=(bl >= atape.padded_length))
 
+    # production sweeps run as ONE fused device program
+    # (sweep_until_converged); measure the same shape here — per-call relay
+    # latency (~33-70 ms on the axon tunnel) would otherwise dominate and
+    # understate device throughput by orders of magnitude
     t0 = time.time()
-    out = sweeps.sweep(engine, bl, True, prefix, ref, kinds, q0, q1,
-                       angles, sel)
+    out = sweeps.sweep(engine, bl, True, prefix, ref, kinds, q0, q1, angles,
+                       sel)
     jax.block_until_ready(out[2])
     log(f"first sweep (incl. compile): {time.time() - t0:.1f}s")
-
     evals_per_sweep = int(out[4])
-    k, a = out[0], out[1]
+
+    fused = sweeps.sweep_n_cycles
+    out2 = fused(engine, bl, True, iters, prefix, ref, kinds, q0, q1,
+                 angles, sel)
+    jax.block_until_ready(out2[2])  # compile the fused loop
     t0 = time.time()
-    for _ in range(iters):
-        out = sweeps.sweep(engine, bl, True, prefix, ref, k, q0, q1, a, sel)
-        k, a = out[0], out[1]
-    jax.block_until_ready(out[2])
+    out2 = fused(engine, bl, True, iters, prefix, ref, out2[0], q0, q1,
+                 out2[1], sel)
+    jax.block_until_ready(out2[2])
     dt = (time.time() - t0) / iters
-    log(f"steady sweep: {dt * 1e3:.1f} ms, {evals_per_sweep} equivalent "
-        f"evals/sweep, cost {float(out[2]):.6f}")
+    log(f"steady sweep (fused x{iters}): {dt * 1e3:.2f} ms/sweep, "
+        f"{evals_per_sweep} equivalent evals/sweep, "
+        f"cost {float(out2[2]):.6f}")
     return evals_per_sweep / dt, evals_per_sweep, dt, flops_per_sweep
 
 

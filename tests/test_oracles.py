@@ -192,7 +192,7 @@ class TestBrickwallOrder:
 
 def _results_equal(res_a, res_b):
     keys = set(res_a.__dict__) | set(res_b.__dict__)
-    for key in keys - {"time_taken"}:
+    for key in keys - {"time_taken", "phase_timings"}:  # wall-clock fields
         val_a = getattr(res_a, key, None)
         val_b = getattr(res_b, key, None)
         if key == "circuit":
