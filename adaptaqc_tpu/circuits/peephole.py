@@ -209,12 +209,15 @@ def advanced_circuit_transpilation(circuit: Circuit, coupling_map=None,
     consolidation + peephole to fixpoint. Synthesis only emits CX on pairs
     the input already coupled, so any coupling-map restriction of the input
     is preserved by construction."""
+    before = len(circuit.data)
     consolidate_2q_blocks(circuit, gate_range)
+    if gate_range is not None:
+        # consolidation rewrites in place within the range; shift its end by
+        # the net length change
+        gate_range = (gate_range[0],
+                      gate_range[1] - (before - len(circuit.data)))
     remove_unnecessary_gates_from_circuit(circuit, True, False,
-                                          gate_range=None if gate_range is None
-                                          else (gate_range[0],
-                                                min(gate_range[1],
-                                                    len(circuit.data))))
+                                          gate_range=gate_range)
 
 
 def remove_unnecessary_2q_gates_from_circuit(circuit: Circuit,

@@ -110,7 +110,6 @@ def chi_1_mps_to_circuit(mps_or_qiskit_mps):
     from .compression import product_state_to_circuit
     if isinstance(mps_or_qiskit_mps, mps_core.MPS):
         state = mps_or_qiskit_mps
-        import numpy as _np
         from ..ops import cplx
         lam = np.asarray(state.lam)
         if np.any(np.sum(lam > 0, axis=1) > 1):
