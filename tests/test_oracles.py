@@ -307,3 +307,60 @@ class TestMPSConsumesStatevectorTarget:
         state = mps_core.from_dense(vec, 4)
         assert np.abs(mps_core.to_dense(state) - vec).max() < 1e-12
         assert float(state.trunc) == 0.0
+
+
+class TestAnsatzStructure:
+    """White-box partition of the gate-view circuit into
+    [initial-ansatz inverse][isql][dressed layers][starting-circuit inverse]
+    (ref test_adapt_compiler.py:745-808)."""
+
+    def test_solution_has_correct_gate_structure(self):
+        from adaptaqc_tpu.backends.backend import MPSBackend
+
+        target = create_random_initial_state_circuit(4, seed=61)
+        starting_circuit = Circuit(4)
+        for q in range(4):
+            starting_circuit.x(q)
+
+        initial_ansatz = Circuit(4)
+        for q in range(4):
+            initial_ansatz.ry(0, q)
+        for q in range(3):
+            initial_ansatz.cx(q, q + 1)
+        for q in range(4):
+            initial_ansatz.rx(0, q)
+
+        config = AdaptConfig(rotosolve_frequency=4, max_layers_to_modify=2)
+        compiler = AdaptCompiler(target, backend=MPSBackend(),
+                                 adapt_config=config,
+                                 starting_circuit=starting_circuit,
+                                 initial_single_qubit_layer=True)
+        compiler.global_cost_history = []
+        compiler.initial_ansatz_already_successful = False
+        compiler._add_initial_ansatz(initial_ansatz,
+                                     optimise_initial_ansatz=True)
+        for i in range(5):
+            compiler._add_layer(i)
+
+        ref = compiler.ref_circuit_as_gates
+        assert ref.data[0].name == "set_mps"
+        gates = ref.data[1:]
+
+        # first 11 gates: the inverse of the initial ansatz
+        names = [g.name for g in gates[:11]]
+        assert names == ["rx"] * 4 + ["cx"] * 3 + ["ry"] * 4
+
+        # next 4: the initial single-qubit layer (Rotoselect may re-axis)
+        assert all(g.name in ("rx", "ry", "rz") for g in gates[11:15])
+
+        # middle: whole thinly-dressed CNOT layers, cx at position 2 of 5
+        middle = gates[15:-4]
+        assert len(middle) % 5 == 0 and len(middle) == 4 * 5
+        for i, g in enumerate(middle):
+            if i % 5 == 2:
+                assert g.name == "cx"
+            else:
+                assert g.name in ("rx", "ry", "rz")
+
+        # final 4: the starting circuit's inverse (x gates)
+        assert all(g.name == "x" for g in gates[-4:])
