@@ -56,7 +56,9 @@ def _sequential_sweep(target: mps_core.MPS, s_amps: C):
         env = cplx.einsum("a,pab,b->p", prefix, bt_i, suf_i)  # E_i[p]
         nrm = jnp.sqrt(jnp.sum(env.abs2()))
         inv = jnp.where(nrm > 1e-30, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
-        new_amp = C(env.re * inv, -env.im * inv)  # conj(E)/||E||
+        # <s|psi> = sum_p conj(s_i[p]) E_i[p], so the optimal unit vector is
+        # E/||E|| (NOT its conjugate — that maximises only when E is real)
+        new_amp = C(env.re * inv, env.im * inv)
         m_new = cplx.einsum("p,pab->ab", new_amp.conj(), bt_i)
         return cplx.einsum("a,ab->b", prefix, m_new), new_amp
 

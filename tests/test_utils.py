@@ -194,3 +194,50 @@ def test_zero_noise_extrapolate_noiseless():
     # noiseless measurement: extrapolation should return ~ the same value
     val = zero_noise_extrapolate(qc, measure, num_points=5)
     assert abs(val - measure()) < 0.05
+
+
+def test_chi1_compression_finds_good_product_state():
+    """Sequential Gauss-Seidel compression (utils/compression.py) on a
+    weakly-entangled state: overlap must beat the trivial |0...0> overlap
+    and land near the dominant mean-field value."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.tape import compile_tape
+    from adaptaqc_tpu.utils.compression import best_product_state
+    rng = np.random.default_rng(3)
+    n = 6
+    qc = Circuit(n)
+    for q in range(n):
+        qc.ry(float(rng.uniform(-0.6, 0.6)), q)   # weak rotations
+    for q in range(n - 1):
+        qc.cx(q, q + 1)
+    tape = compile_tape(qc)
+    state = mps_core.apply_tape(mps_core.zero_mps(n, 8),
+                                jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+                                jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+                                1e-12)
+    amps = best_product_state(state)
+    prod = mps_core.product_mps(np.asarray(amps), 8)
+    overlap = abs(complex(*map(float, (mps_core.mps_dot(prod, state).re,
+                                       mps_core.mps_dot(prod, state).im))))
+    zero_overlap = abs(complex(*map(float,
+                                    (mps_core.overlap_with_zero(state).re,
+                                     mps_core.overlap_with_zero(state).im))))
+    # |0...0> is one of the sweep's starting points, so the result can
+    # never be worse than it
+    assert overlap >= zero_overlap - 1e-9
+    assert overlap > 0.85  # weakly entangled: product approx is good
+
+
+def test_chi1_compression_exact_on_product_state():
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.utils.compression import best_product_state
+    rng = np.random.default_rng(4)
+    amps = rng.normal(size=(5, 2)) + 1j * rng.normal(size=(5, 2))
+    amps /= np.linalg.norm(amps, axis=1, keepdims=True)
+    state = mps_core.product_mps(amps, 4)
+    found = best_product_state(state)
+    prod = mps_core.product_mps(np.asarray(found), 4)
+    dot = mps_core.mps_dot(prod, state)
+    assert abs(complex(float(dot.re), float(dot.im))) == pytest.approx(
+        1.0, abs=1e-7)
