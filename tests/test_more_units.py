@@ -1,0 +1,179 @@
+"""Additional per-module unit tests following the reference's one-file-per-
+util strategy (SURVEY section 4.8): sinusoidal closed forms vs brute force,
+tape encoding invariants, circuit surgery, number-preserving ansatz
+conservation, compile_in_parts on the MPS backend."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adaptaqc_tpu.backends import mps_core, sv_core
+from adaptaqc_tpu.backends.backend import MPSBackend, SVBackend
+from adaptaqc_tpu.circuits import gates as G
+from adaptaqc_tpu.circuits import operations as co
+from adaptaqc_tpu.circuits.circuit import Circuit
+from adaptaqc_tpu.circuits.tape import bucket_length, compile_tape
+from adaptaqc_tpu.ops import cplx
+from adaptaqc_tpu.optim.sinusoidal import (amplitude_of_sinusoidal,
+                                           derivative_of_sinusoidal,
+                                           minimum_of_sinusoidal)
+
+
+class TestSinusoidal:
+    def test_minimum_matches_brute_force(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            a, b, c = rng.uniform(-2, 2), rng.uniform(-np.pi, np.pi), \
+                rng.uniform(-1, 1)
+
+            def f(x):
+                return a * np.sin(x + b) + c
+
+            theta, val = minimum_of_sinusoidal(f(0), f(np.pi / 2),
+                                               f(-np.pi / 2))
+            grid = np.linspace(-np.pi, np.pi, 20001)
+            brute = f(grid).min()
+            assert val == pytest.approx(brute, abs=1e-6)
+            assert f(theta) == pytest.approx(brute, abs=1e-6)
+
+    def test_amplitude_and_derivative(self):
+        a, b, c = 0.7, 0.3, -0.2
+
+        def f(x):
+            return a * np.sin(x + b) + c
+
+        vals = (f(0), f(np.pi / 2), f(-np.pi / 2))
+        assert amplitude_of_sinusoidal(*vals) == pytest.approx(abs(a))
+        for theta in (0.0, 0.9, -2.0):
+            num = (f(theta + 1e-6) - f(theta - 1e-6)) / 2e-6
+            assert derivative_of_sinusoidal(theta, *vals) == \
+                pytest.approx(num, abs=1e-5)
+
+
+class TestTapeEncoding:
+    def test_reversed_cx_uses_cxr_kind(self):
+        qc = Circuit(3)
+        qc.cx(2, 0)  # control > target -> CXR with sorted qubits
+        tape = compile_tape(qc)
+        assert int(tape.kinds[0]) >= G.N_KINDS or \
+            G.KIND_NAMES.get(int(tape.kinds[0]), "") == "cxr"
+        assert int(tape.q0[0]) < int(tape.q1[0])
+
+    def test_bucketing_is_monotone_and_covers(self):
+        last = 0
+        for length in range(1, 200):
+            b = bucket_length(length)
+            assert b >= length
+            assert b >= last or b == bucket_length(length)
+        # few distinct buckets -> few compiled programs
+        buckets = {bucket_length(k) for k in range(1, 1000)}
+        assert len(buckets) < 15
+
+    def test_tape_execution_equals_instruction_order(self):
+        rng = np.random.default_rng(1)
+        qc = Circuit(3)
+        qc.h(0)
+        qc.cx(1, 0)
+        qc.s(2)
+        qc.ry(0.7, 1)
+        qc.swap(0, 2)
+        qc.cz(2, 1)
+        tape = compile_tape(qc)
+        out = cplx.to_np(sv_core.apply_tape(
+            sv_core.zero_state(3),
+            *(np.asarray(x) for x in (tape.kinds, tape.q0, tape.q1,
+                                      tape.angles))))
+        from reference_sim import simulate
+        np.testing.assert_allclose(out, simulate(qc), atol=1e-6)
+
+
+class TestCircuitSurgery:
+    def test_extract_replace_roundtrip(self):
+        rng = np.random.default_rng(2)
+        qc = Circuit(3)
+        for q in range(3):
+            qc.ry(float(rng.uniform(-3, 3)), q)
+        qc.cx(0, 1)
+        qc.cx(1, 2)
+        inner = co.extract_inner_circuit(qc, (1, 4))
+        clone = qc.copy()
+        co.replace_inner_circuit(clone, inner, (1, 4))
+        assert co.are_circuits_identical(qc, clone)
+
+    def test_inverse_preserves_labels_and_state(self):
+        qc = Circuit(2)
+        qc.ry(0.4, 0)
+        qc.cx(0, 1)
+        qc.rz(-1.1, 1)
+        inv = co.circuit_by_inverting_circuit(qc)
+        both = qc.copy()
+        co.add_to_circuit(both, inv)
+        tape = compile_tape(both)
+        out = cplx.to_np(sv_core.apply_tape(
+            sv_core.zero_state(2),
+            *(np.asarray(x) for x in (tape.kinds, tape.q0, tape.q1,
+                                      tape.angles))))
+        assert abs(out[0]) == pytest.approx(1.0, abs=1e-6)
+        assert all(i.label is not None for i in inv.data
+                   if i.is_supported_1q_gate())
+
+    def test_angle_io_roundtrip(self):
+        qc = Circuit(2)
+        qc.rx(0.1, 0)
+        qc.cx(0, 1)
+        qc.rz(0.2, 1)
+        angles = co.find_angles_in_circuit(qc)
+        np.testing.assert_allclose(angles, [0.1, 0.2])
+        co.update_angles_in_circuit(qc, [1.5, -2.5])
+        np.testing.assert_allclose(co.find_angles_in_circuit(qc),
+                                   [1.5, -2.5])
+
+
+class TestNumberPreservingAnsatz:
+    def test_conserves_particle_number(self):
+        """Every basis state's Hamming weight must be preserved by the
+        ansatz (fixed_ansatz_circuits.py:87-113 uses dependent-parameter
+        gates precisely to guarantee this)."""
+        from adaptaqc_tpu.utils.fixed_ansatz_circuits import (
+            number_preserving_ansatz)
+        rng = np.random.default_rng(3)
+        n = 4
+        qc = number_preserving_ansatz(n, ansatz_depth=2)
+        angles = co.find_angles_in_circuit(qc)
+        co.update_angles_in_circuit(qc, list(rng.uniform(-3, 3,
+                                                         len(angles))))
+        lowered = co.make_quantum_only_circuit(qc)
+        tape = compile_tape(lowered)
+        # start from |0011> (weight 2)
+        start = Circuit(n)
+        start.x(0)
+        start.x(1)
+        st = sv_core.zero_state(n)
+        stape = compile_tape(start)
+        st = sv_core.apply_tape(st, *(np.asarray(x) for x in
+                                      (stape.kinds, stape.q0, stape.q1,
+                                       stape.angles)))
+        out = cplx.to_np(sv_core.apply_tape(
+            st, *(np.asarray(x) for x in (tape.kinds, tape.q0, tape.q1,
+                                          tape.angles))))
+        probs = np.abs(out) ** 2
+        weights = np.array([bin(i).count("1") for i in range(2 ** n)])
+        assert probs[weights != 2].sum() < 1e-8
+
+
+class TestCompileInPartsMPS:
+    def test_ladder_compilation_mps_backend(self):
+        rng = np.random.default_rng(5)
+        n = 3
+        target = Circuit(n)
+        for _ in range(4):
+            for q in range(n):
+                target.ry(float(rng.uniform(-1.5, 1.5)), q)
+            for q in range(n - 1):
+                target.cx(q, q + 1)
+        from adaptaqc_tpu.compilers.adapt_compiler import AdaptCompiler
+        np.random.seed(1)
+        compiler = AdaptCompiler(target, backend=SVBackend())
+        result = compiler.compile_in_parts(max_depth_per_block=4)
+        assert result.overlap > 0.97
+        assert len(result.individual_results) >= 2
