@@ -59,8 +59,10 @@ def encode_compiler_state(compiler) -> Dict[str, Any]:
     backend = state.pop("backend")
     from ..backends.backend import MPSBackend, SamplingBackend, SVBackend
     if isinstance(backend, MPSBackend):
+        # NOTE: mesh objects are process-local and intentionally not
+        # persisted; re-attach one after loading if desired
         state["__backend_spec__"] = ("mps", backend.truncation_threshold,
-                                     backend.max_chi)
+                                     backend.max_chi, backend.mps_log_data)
     elif isinstance(backend, SamplingBackend):
         state["__backend_spec__"] = ("sampling", backend.shots)
     elif isinstance(backend, SVBackend):
@@ -87,7 +89,8 @@ def decode_compiler_state(compiler, state: Dict[str, Any]) -> None:
 
     spec = state.pop("__backend_spec__", ("sv",))
     if spec[0] == "mps":
-        backend = MPSBackend(spec[1], spec[2])
+        backend = MPSBackend(spec[1], spec[2],
+                             spec[3] if len(spec) > 3 else False)
     elif spec[0] == "sampling":
         backend = SamplingBackend(spec[1])
     elif spec[0] == "sv":
