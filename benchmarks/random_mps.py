@@ -58,9 +58,11 @@ def compile_target(qmps, max_chi=32, sufficient_cost=1e-2, max_layers=400,
     # max_layers_to_modify=100): the trailing window is re-optimised after
     # every layer — weakening this (e.g. frequency 10 / window 10) plateaus
     # well short of 0.99 overlap on the paper targets
+    # patience: the 50q targets have long slow stretches before late, fast
+    # convergence phases; a tight improvement window stops at overlap ~0.98
     config = AdaptConfig(
         method=method,
-        cost_improvement_num_layers=50,
+        cost_improvement_num_layers=1000,
         sufficient_cost=sufficient_cost,
         max_layers=max_layers,
     )
