@@ -183,3 +183,24 @@ def test_general_initial_state():
         sv_t = simulate(co.make_quantum_only_circuit(qc), state=vec)
         sv_s = simulate(co.make_quantum_only_circuit(result.circuit), state=vec)
         assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 0.1
+
+
+def test_escape_periodic_local_minimum():
+    """Sinusoidal-penalty escape (cost_minimiser.py:197-248): from a
+    deliberately bad angle assignment, the escape attempt must not end worse
+    than it started."""
+    np.random.seed(0)
+    target = co.create_random_initial_state_circuit(2, seed=19)
+    compiler = AdaptCompiler(target, backend=SVBackend())
+    compiler._add_layer(0)
+    # wreck the angles
+    rng_angles = co.find_angles_in_circuit(
+        compiler.full_circuit, compiler.variational_circuit_range())
+    co.update_angles_in_circuit(
+        compiler.full_circuit, [a + 2.0 for a in rng_angles],
+        compiler.variational_circuit_range())
+    compiler._invalidate_current()
+    before = compiler.evaluate_cost()
+    after = compiler.minimizer.try_escaping_periodic_local_minimum(
+        gap_between_minima=0.5, first_minima_loc=before)
+    assert after <= before + 1e-9
