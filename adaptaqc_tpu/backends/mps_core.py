@@ -562,6 +562,77 @@ def sweep_engine(threshold: float, allow_pallas: bool = True):
     return engine
 
 
+@functools.partial(jax.jit, static_argnums=(5,))
+def pair_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs,
+                     max_dist: int):
+    """<bra| A^{(k,m)} B^{(k,m)} |ket> for every (op k, pair p), summed over
+    Schmidt terms m — the environment-cached replacement for
+    `batched_op_overlaps` (same contract: A acts on site pairs[p, 1], B on
+    pairs[p, 0], zero-padded terms contribute nothing; returns C (K, P)).
+
+    Every operator insertion is local to the two pair sites, so the bra/ket
+    transfer environments away from the pair are IDENTICAL for all (k, m, p).
+    Compute left envs E_i (sites < i) and right envs F_i (sites > i) once
+    (O(n chi^3)), then per pair build the 4-leg two-site overlap tensor
+        W[u, v, w, z] = <bra| (|u><v| at lo) (|w><z| at hi) |ket>
+    with (dist - 1) masked open-leg transfer steps through the middle sites,
+    and read off every operator as a 16x16 dot with W. Replaces the K*M
+    sequential n-site chains of batched_op_overlaps: the pair-selection
+    heuristic drops from ~half of 50q compile wall-clock to noise.
+
+    `max_dist` must be a static host-side bound on max |pairs[:,1] -
+    pairs[:,0]| (1 for linear coupling maps -> the middle loop vanishes).
+    """
+    chi = bra.chi
+    dt = bra.lam.dtype
+    bb = b_tensors(bra)
+    bk = b_tensors(ket)
+    e0 = cplx.zeros((chi, chi), dt)
+    e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+
+    flipped = jax.tree.map(lambda v: jnp.flip(v, 0), (bb, bk))
+
+    def step(carry, x):
+        e, f = carry
+        (tb, tk), (tbf, tkf) = x
+        e_new = cplx.einsum("pax,ab,pby->xy", tb.conj(), e, tk)
+        f_new = cplx.einsum("pxa,ab,pyb->xy", tbf.conj(), f, tkf)
+        return (e_new, f_new), (e, f)
+
+    _, (prefixes, suffixes_rev) = lax.scan(step, (e0, e0),
+                                           ((bb, bk), flipped))
+    suffixes = jax.tree.map(lambda v: jnp.flip(v, 0), suffixes_rev)
+    # prefixes[i] = env of sites < i; suffixes[i] = env of sites > i
+
+    def for_pair(pair):
+        s0, s1 = pair[0], pair[1]
+        lo = jnp.minimum(s0, s1)
+        hi = jnp.maximum(s0, s1)
+        e_lo = prefixes[lo]
+        f_hi = suffixes[hi]
+        blo_b, blo_k = bb[lo], bk[lo]
+        bhi_b, bhi_k = bb[hi], bk[hi]
+        # open-leg two-site chain: X[u, v, x, y] after site lo
+        x_t = cplx.einsum("uax,ab,vby->uvxy", blo_b.conj(), e_lo, blo_k)
+        for d in range(1, max_dist):
+            mid = jnp.minimum(lo + d, bra.n - 1)
+            x_new = cplx.einsum("pxa,uvxy,pyb->uvab",
+                                bb[mid].conj(), x_t, bk[mid])
+            x_t = cplx.where(lo + d < hi, x_new, x_t)
+        # close at hi with the right environment
+        w = cplx.einsum("wxa,uvxy,zyb,ab->uvwz",
+                        bhi_b.conj(), x_t, bhi_k, f_hi)
+        # leg groups: (u, v) at lo, (w, z) at hi. B acts on pairs[p, 0]:
+        # when the pair arrives descending (s0 > s1), swap the groups so the
+        # final contraction can always put B on the first pair of legs.
+        w_swapped = C(w.re.transpose(2, 3, 0, 1), w.im.transpose(2, 3, 0, 1))
+        return cplx.where(s0 <= s1, w, w_swapped)
+
+    ws = jax.vmap(for_pair)(pairs)  # C (P, 2, 2, 2, 2)
+    # value[k, p] = sum_m B_km[u, v] A_km[w, z] W_p[u, v, w, z]
+    return cplx.einsum("kmuv,kmwz,puvwz->kp", ops_b, ops_a, ws)
+
+
 def batched_op_overlaps(bra: MPS, ket: MPS, ops_a: C, ops_b: C, pairs):
     """<bra| A^{(t)} B^{(c)} |ket> for every (op k, Schmidt term m, pair p),
     summed over terms m.

@@ -94,14 +94,27 @@ class CostMinimiser:
             indexes_to_modify = (max(indexes_to_modify[0], var_range[0]),
                                  min(indexes_to_modify[1], var_range[1]))
 
-        # tape covers variational range + fixed rhs gates (suffix)
-        tape_range = (var_range[0], len(self.full_circuit.data))
+        prefix = comp._prefix_state()
+        # Gates left of the modify window are fixed for the whole call:
+        # advance the prefix past them ONCE instead of re-applying them in
+        # every sweep cycle. With the reference-default schedule
+        # (rotosolve_frequency=1, max_layers_to_modify=100) the per-layer
+        # Rotoselect would otherwise re-simulate ~100 frozen layers per
+        # cycle to optimise the ~7 new gates.
+        tape_start = var_range[0]
+        if indexes_to_modify[0] > tape_start:
+            pre_tape = compile_tape(self.full_circuit,
+                                    (tape_start, indexes_to_modify[0]))
+            prefix = comp.backend.run_tape(prefix, pre_tape)
+            tape_start = indexes_to_modify[0]
+
+        # tape covers the modify window + fixed rhs gates (suffix)
+        tape_range = (tape_start, len(self.full_circuit.data))
         tape = compile_tape(self.full_circuit, tape_range)
         base_indices = [i - tape_range[0]
                         for i in range(*indexes_to_modify)]
         full_mask = select_mask(tape, base_indices)
 
-        prefix = comp._prefix_state()
         ref = comp.backend.zero_ref(comp)
         engine = comp.backend.sweep_engine()
         bl = sweeps.default_block_len(tape.padded_length,

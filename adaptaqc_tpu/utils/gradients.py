@@ -156,12 +156,15 @@ def general_grad_of_pairs_device(psi, starting_circuit, gradient_ops,
     pairs = np.asarray(coupling_map, dtype=np.int32)
     a_ops = cplx.from_np(a_np)
     b_ops = cplx.from_np(b_np)
+    # static bound on the pair span -> the env-cached scorer's middle loop
+    # length (1 for linear coupling maps: no middle sites at all)
+    max_dist = int(np.max(np.abs(pairs[:, 1] - pairs[:, 0])))
 
     # z[k, p]: k=0 -> <psi|U^dag(0)|s>; k>=1 -> <s|G_k|psi>
-    z0 = mps_core.batched_op_overlaps(psi, s_state, a_ops[0:1], b_ops[0:1],
-                                      jnp.asarray(pairs))
-    zk = mps_core.batched_op_overlaps(s_state, psi, a_ops[1:], b_ops[1:],
-                                      jnp.asarray(pairs))
+    z0 = mps_core.pair_op_overlaps(psi, s_state, a_ops[0:1], b_ops[0:1],
+                                   jnp.asarray(pairs), max_dist)
+    zk = mps_core.pair_op_overlaps(s_state, psi, a_ops[1:], b_ops[1:],
+                                   jnp.asarray(pairs), max_dist)
     z0 = cplx.to_np(z0)[0]          # (P,)
     zk = cplx.to_np(zk)             # (K, P)
 

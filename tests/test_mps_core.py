@@ -108,6 +108,28 @@ def test_all_pair_rdms_match_sv():
             np.testing.assert_allclose(rho_mps, rho_sv, atol=1e-5)
 
 
+def test_pair_op_overlaps_matches_batched_chains():
+    """The env-cached pair scorer must agree with the sequential full-chain
+    contraction for ascending, descending, adjacent and distant pairs."""
+    rng = np.random.default_rng(31)
+    n = 6
+    bra = run_mps(random_circuit(n, 14, rng), 8)
+    ket = run_mps(random_circuit(n, 14, rng), 8)
+    k_n, m_n = 3, 4
+    ops_a = cplx.from_np(rng.normal(size=(k_n, m_n, 2, 2))
+                         + 1j * rng.normal(size=(k_n, m_n, 2, 2)))
+    ops_b = cplx.from_np(rng.normal(size=(k_n, m_n, 2, 2))
+                         + 1j * rng.normal(size=(k_n, m_n, 2, 2)))
+    pairs = np.array([[0, 1], [2, 3], [4, 5], [1, 4], [5, 2], [0, 5]],
+                     dtype=np.int32)
+    old = cplx.to_np(mps_core.batched_op_overlaps(
+        bra, ket, ops_a, ops_b, jnp.asarray(pairs)))
+    new = cplx.to_np(mps_core.pair_op_overlaps(
+        bra, ket, ops_a, ops_b, jnp.asarray(pairs),
+        int(np.max(np.abs(pairs[:, 1] - pairs[:, 0])))))
+    np.testing.assert_allclose(new, old, atol=1e-5)
+
+
 def test_local_overlap_matrix_mps():
     rng = np.random.default_rng(5)
     n = 4
