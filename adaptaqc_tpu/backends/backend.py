@@ -100,6 +100,14 @@ class SVBackend(AQCBackend):
             self._jit_cache[key] = fn
         return fn(state, *_tape_args(tape))
 
+    def run_tape_adjoint(self, state, tape: Tape):
+        key = ("runadj", tape.padded_length, state.re.shape)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(sv_core.apply_tape_adjoint)
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
     def state_of(self, compiler):
         return compiler._current_state()
 
@@ -235,14 +243,29 @@ class MPSBackend(AQCBackend):
                         f"= {float(out.trunc):.3e} (chi={out.chi})")
         return out
 
+    def run_tape_adjoint(self, state, tape: Tape):
+        key = ("runadj", tape.padded_length, state.chi, state.n)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            thr = self.truncation_threshold
+            fn = jax.jit(lambda s, k, a, b, th: mps_core.apply_tape_adjoint(
+                s, k, a, b, th, thr))
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
     def state_of(self, compiler):
         return compiler._current_state()
 
     def sweep_engine(self):
-        # pallas kernels are single-device programs; sharded runs stay on
-        # the GSPMD-partitionable XLA path
-        return mps_core.sweep_engine(self.truncation_threshold,
-                                     allow_pallas=self.mesh is None)
+        # pallas kernels and the incremental-env while loops are
+        # single-device programs; sharded runs stay on the
+        # GSPMD-partitionable XLA scan path
+        return mps_core.sweep_engine(
+            self.truncation_threshold,
+            allow_pallas=self.mesh is None,
+            # None = consult ADAPTAQC_ENVCACHE; sharded runs always use the
+            # GSPMD-partitionable full-chain path
+            allow_env_cache=None if self.mesh is None else False)
 
     def zero_ref(self, compiler):
         n = compiler.full_circuit.num_qubits
@@ -326,6 +349,9 @@ class SamplingBackend(AQCBackend):
 
     def run_tape(self, state, tape):
         return self._sv.run_tape(state, tape)
+
+    def run_tape_adjoint(self, state, tape):
+        return self._sv.run_tape_adjoint(state, tape)
 
     def state_of(self, compiler):
         return compiler._current_state()

@@ -226,6 +226,21 @@ def apply_tape(state: MPS, kinds, q0s, q1s, angles, threshold) -> MPS:
     return state
 
 
+def apply_tape_adjoint(state: MPS, kinds, q0s, q1s, angles, threshold) -> MPS:
+    """Apply the ADJOINT of a tape: gates reversed, each as its dagger.
+    Used to peel a trailing gate group off a cached state (exact for 1q
+    groups — single-qubit adjoints involve no bond truncation)."""
+    _, apply_adj = make_apply(threshold)
+
+    def body(s, x):
+        k, a, b, th = x
+        return apply_adj(s, k, a, b, th), None
+
+    rev = jax.tree.map(lambda v: jnp.flip(v, 0), (kinds, q0s, q1s, angles))
+    state, _ = lax.scan(body, state, rev)
+    return state
+
+
 # ---------------------------------------------------------------- observables
 
 def mps_dot(a: MPS, b: MPS) -> C:
@@ -541,23 +556,171 @@ def _local_overlap_dispatch(r_state: MPS, l_state: MPS, q) -> C:
     return local_overlap_matrix(r_state, l_state, q)
 
 
+# sites advanced per while-loop iteration in _env_probe. XLA while
+# iterations carry a fixed dispatch/copy cost (~50 us on the axon-relay
+# TPU), far above the few chi^3 contractions of one site step — amortise
+# it by unrolling ENV_CHUNK masked site steps per iteration.
+ENV_CHUNK = 8
+
+
+class SweepEnv(NamedTuple):
+    """Incremental probe-environment cache for one sweep (see
+    optim.sweeps.EnvOps).
+
+    e_buf[i] = env of sites < i between the sweep's current R and L states,
+    valid for i <= e_ptr. g_buf[x] = env of sites > n-1-x (the RIGHT chain
+    stored in reversed coordinates so both chains advance "upward"), valid
+    for x <= g_ptr. Both buffers carry ENV_CHUNK rows of slack so chunked
+    slab writes never clobber valid entries: positions past the frontier
+    are garbage by definition and get overwritten before use."""
+    e_buf: C           # (n + ENV_CHUNK, chi, chi)
+    g_buf: C           # (n + ENV_CHUNK, chi, chi)
+    e_ptr: jnp.ndarray  # int32 scalar
+    g_ptr: jnp.ndarray  # int32 scalar
+
+
+def _env_init(state: MPS) -> SweepEnv:
+    n, chi = state.n, state.chi
+    dt = state.lam.dtype
+    buf = cplx.zeros((n + ENV_CHUNK, chi, chi), dt)
+    bnd = C(buf.re.at[0, 0, 0].set(1.0), buf.im)
+    return SweepEnv(bnd, bnd, jnp.int32(0), jnp.int32(0))
+
+
+def _env_touch(env: SweepEnv, t0, t1, active) -> SweepEnv:
+    """A gate touched sites [t0, t1] on either state: left envs stay valid
+    up to position t0, right envs up to reversed position n-1-t1."""
+    n = env.e_buf.re.shape[0] - ENV_CHUNK
+    e_ptr = jnp.where(active, jnp.minimum(env.e_ptr, t0), env.e_ptr)
+    g_ptr = jnp.where(active, jnp.minimum(env.g_ptr, n - 1 - t1), env.g_ptr)
+    return SweepEnv(env.e_buf, env.g_buf,
+                    e_ptr.astype(jnp.int32), g_ptr.astype(jnp.int32))
+
+
+def _env_probe(env: SweepEnv, r_state: MPS, l_state: MPS, q, active=True):
+    """Advance both environment frontiers to site q and contract
+    C[i,j] = <R| |i><j|_q |L>.
+
+    Trip counts are data-dependent (~|q - previous probe site| / ENV_CHUNK
+    iterations — consecutive ADAPT probes sit on the same or nearby sites),
+    so a window-Rotosolve probe costs O(distance) transfer steps instead of
+    the O(n) full chain of local_overlap_matrix.
+
+    `active=False` makes both while loops no-ops (and the returned C is
+    garbage): the sweep calls probe UNCONDITIONALLY per gate so the big env
+    buffers never cross a lax.cond boundary — conditioning on the buffers
+    forces XLA to materialise per-gate copies, which costs more than the
+    probe itself."""
+    n, chi = r_state.n, r_state.chi
+    br = b_tensors(r_state)
+    bl = b_tensors(l_state)
+
+    def slice_env(buf, i):
+        z = jnp.zeros_like(i)
+        re = lax.dynamic_slice(buf.re, (i, z, z), (1, chi, chi))[0]
+        im = lax.dynamic_slice(buf.im, (i, z, z), (1, chi, chi))[0]
+        return C(re, im)
+
+    def slice_site(bs, i):
+        z = jnp.zeros_like(i)
+        re = lax.dynamic_slice(bs.re, (i, z, z, z), (1, 2, chi, chi))[0]
+        im = lax.dynamic_slice(bs.im, (i, z, z, z), (1, 2, chi, chi))[0]
+        return C(re, im)
+
+    def write_slab(buf, i, slab):
+        z = jnp.zeros_like(i)
+        return C(lax.dynamic_update_slice(buf.re, slab.re, (i, z, z)),
+                 lax.dynamic_update_slice(buf.im, slab.im, (i, z, z)))
+
+    def make_advance(step_site, target):
+        """Chunked frontier advance: ENV_CHUNK masked site steps + one slab
+        write per while iteration."""
+        def body(carry):
+            buf, i = carry
+            e = slice_env(buf, i)
+            outs = []
+            for p in range(ENV_CHUNK):
+                e2 = step_site(e, i + p)
+                e = cplx.where(i + p < target, e2, e)
+                outs.append(e)
+            slab = cplx.stack(outs)
+            return write_slab(buf, i + 1, slab), jnp.minimum(
+                i + ENV_CHUNK, target)
+
+        return body
+
+    # left chain: E_{i+1} = step(E_i, site i)
+    def e_step(e, pos):
+        site = jnp.minimum(pos, n - 1)
+        return cplx.einsum("pax,ab,pby->xy", slice_site(br, site).conj(), e,
+                           slice_site(bl, site))
+
+    e_target = jnp.where(active, q, jnp.int32(-1))
+    e_buf, e_ptr = lax.while_loop(lambda c: c[1] < e_target,
+                                  make_advance(e_step, e_target),
+                                  (env.e_buf, env.e_ptr))
+    e_ptr = jnp.where(active, e_ptr, env.e_ptr)
+
+    # right chain in reversed coordinates: G_{x+1} = step(G_x, site n-1-x)
+    xq = n - 1 - q
+
+    def g_step(f, pos):
+        site = jnp.maximum(n - 1 - pos, 0)
+        return cplx.einsum("pxa,ab,pyb->xy", slice_site(br, site).conj(), f,
+                           slice_site(bl, site))
+
+    g_target = jnp.where(active, xq, jnp.int32(-1))
+    g_buf, g_ptr = lax.while_loop(lambda c: c[1] < g_target,
+                                  make_advance(g_step, g_target),
+                                  (env.g_buf, env.g_ptr))
+    g_ptr = jnp.where(active, g_ptr, env.g_ptr)
+
+    # the contraction runs only for probed gates; its operands are small
+    # slices so this cond is cheap (conditioning the buffers would not be)
+    def contract(ops):
+        brq, e_q, blq, f_q = ops
+        return cplx.einsum("iax,ab,jby,xy->ij", brq.conj(), e_q, blq, f_q)
+
+    def skip(ops):
+        return cplx.zeros((2, 2), r_state.lam.dtype)
+
+    Cm = lax.cond(active, contract, skip,
+                  (slice_site(br, q), slice_env(e_buf, q),
+                   slice_site(bl, q), slice_env(g_buf, xq)))
+    return Cm, SweepEnv(e_buf, g_buf, e_ptr, g_ptr)
+
+
 _ENGINE_CACHE = {}
 
 
-def sweep_engine(threshold: float, allow_pallas: bool = True):
+def sweep_engine(threshold: float, allow_pallas: bool = True,
+                 allow_env_cache=None):
     """SweepEngine for this threshold. Cached: jax.jit hashes the engine's
     function fields by identity, so returning fresh closures per call would
-    silently retrace every sweep program on every minimize_cost call."""
+    silently retrace every sweep program on every minimize_cost call.
+
+    Incremental probe environments (EnvOps) are OPT-IN via
+    ADAPTAQC_ENVCACHE=1: measured on the TPU they are FLOP-cheaper but
+    wall-neutral at n=50 (probes are only ~15% of sweep time once the
+    Pallas chain kernel is in; threading the env buffers through the gate
+    scan costs XLA about what the skipped chains cost). Kept for larger n,
+    where full chains scale O(n) but the incremental advance does not."""
+    import os
     use_pallas = allow_pallas and _pallas_available()
-    key = (float(threshold), use_pallas)
+    use_env = (bool(os.environ.get("ADAPTAQC_ENVCACHE"))
+               if allow_env_cache is None else bool(allow_env_cache))
+    key = (float(threshold), use_pallas, use_env)
     engine = _ENGINE_CACHE.get(key)
     if engine is None:
-        from ..optim.sweeps import SweepEngine
+        from ..optim.sweeps import EnvOps, SweepEngine
         apply_gate, apply_adj = make_apply(threshold)
         overlap_fn = _local_overlap_dispatch if use_pallas \
             else local_overlap_matrix
-        engine = SweepEngine(f"mps[{threshold},pallas={use_pallas}]",
-                             apply_gate, apply_adj, overlap_fn, mps_dot)
+        env_ops = EnvOps(_env_init, _env_touch, _env_probe) if use_env \
+            else None
+        engine = SweepEngine(
+            f"mps[{threshold},pallas={use_pallas},env={use_env}]",
+            apply_gate, apply_adj, overlap_fn, mps_dot, env_ops)
         _ENGINE_CACHE[key] = engine
     return engine
 

@@ -47,6 +47,14 @@ from .approximate_compiler import (ApproximateCompiler,
 logger = logging.getLogger(__name__)
 
 
+def _tape_has_2q(tape):
+    """True where a tape entry is a 2-qubit gate (CX/CZ/SWAP/CXR)."""
+    from ..circuits import gates as G
+    kinds = np.asarray(tape.kinds)
+    return ((kinds == G.CX) | (kinds == G.CZ) | (kinds == G.SWAP)
+            | (kinds >= G.N_KINDS))
+
+
 class AdaptCompiler(ApproximateCompiler):
     """Structure-learning compiler: incrementally builds a circuit with the
     same action on |0> as the target (adapt_compiler.py:48-53)."""
@@ -123,6 +131,7 @@ class AdaptCompiler(ApproximateCompiler):
 
         self.resume_from_layer = None
         self.prev_checkpoint_time_taken = None
+        self._advance_hint = None
 
         if self.adapt_config.method == "general_gradient":
             if not self.is_mps_backend:
@@ -557,21 +566,46 @@ class AdaptCompiler(ApproximateCompiler):
         control, target = self._find_appropriate_qubit_pair()
         self.phase_timings["pair_selection"] += timeit.default_timer() - t0
         logger.debug(f"selected pair {(control, target)}")
+        insert_at = self.variational_circuit_range()[1]
+        self._stash_advance_hint(insert_at)
         co.add_to_circuit(self.full_circuit, self.get_layer_2q_gate(index),
-                          self.variational_circuit_range()[1],
-                          qubit_subset=[control, target])
+                          insert_at, qubit_subset=[control, target])
         self._invalidate_current()
         self.qubit_pair_history.append((control, target))
         return (self.variational_circuit_range()[1] - len(self.layer_2q_gate.data),
                 self.variational_circuit_range()[1])
+
+    def _stash_advance_hint(self, insert_at):
+        """Hand the optimiser the engine state of full_circuit.data[:insert_at]
+        (everything before the about-to-be-inserted layer), derived from the
+        cached full state by peeling the trailing 1q starting-circuit gates —
+        so the per-layer Rotoselect's prefix advance costs ~n 1q adjoints
+        instead of re-simulating the whole unabsorbed window (~200 bond SVDs
+        at 50q with the reference-default schedule)."""
+        self._advance_hint = None
+        if self._current_cache is None:
+            return
+        if self.rhs_gate_count == 0:
+            self._advance_hint = (insert_at, self._current_cache)
+            return
+        rhs_rng = (len(self.full_circuit.data) - self.rhs_gate_count,
+                   len(self.full_circuit.data))
+        if insert_at != rhs_rng[0]:
+            return
+        rhs_tape = compile_tape(self.full_circuit, rhs_rng)
+        if np.any(_tape_has_2q(rhs_tape)):
+            return
+        self._advance_hint = (insert_at, self.backend.run_tape_adjoint(
+            self._current_cache, rhs_tape))
 
     def _add_rotation_to_all_qubits(self):
         """initial_single_qubit_layer (adapt_compiler.py:761-773)."""
         n = self.full_circuit.num_qubits
         first_layer = Circuit(n)
         first_layer.ry(0, range(n))
-        co.add_to_circuit(self.full_circuit, first_layer,
-                          self.variational_circuit_range()[1])
+        insert_at = self.variational_circuit_range()[1]
+        self._stash_advance_hint(insert_at)
+        co.add_to_circuit(self.full_circuit, first_layer, insert_at)
         self._invalidate_current()
         self._first_layer_increment_results_dict()
         return (self.variational_circuit_range()[1] - n,
@@ -646,6 +680,18 @@ class AdaptCompiler(ApproximateCompiler):
         inverse (gradients want |psi> = V(theta)^dag U |0>)."""
         if self.rhs_gate_count == 0:
             return self._current_state()
+        rhs_rng = (len(self.full_circuit.data) - self.rhs_gate_count,
+                   len(self.full_circuit.data))
+        rhs_tape = compile_tape(self.full_circuit, rhs_rng)
+        if self._current_cache is not None and not np.any(
+                _tape_has_2q(rhs_tape)):
+            # peel the rhs 1q gates off the cached full state instead of
+            # re-simulating the whole unabsorbed tape: 1q adjoints are exact
+            # (no bond truncation), and the cache is hot after every layer's
+            # sweeps — at 50q this replaces ~200 bond SVDs with ~50 O(chi^2)
+            # contractions per pair-scoring call
+            return self.backend.run_tape_adjoint(self._current_cache,
+                                                 rhs_tape)
         state = self._prefix_state()
         rng = (self.lhs_gate_count,
                len(self.full_circuit.data) - self.rhs_gate_count)
@@ -811,7 +857,13 @@ class AdaptCompiler(ApproximateCompiler):
         marker.set_mps(new_prefix)
         self.full_circuit.data.insert(0, marker.data[0])
         self.lhs_gate_count = 1
+        # absorption only moves the prefix/tape boundary — the state of the
+        # whole circuit is unchanged, so keep the (expensive) current-state
+        # cache and seed the prefix cache with the state just computed
+        current = self._current_cache
         self._invalidate_prefix()
+        self._prefix_cache = (self.lhs_gate_count, new_prefix)
+        self._current_cache = current
         return gates_absorbed
 
     def _log_full_ansatz(self):

@@ -46,6 +46,7 @@ def encode_compiler_state(compiler) -> Dict[str, Any]:
     # caches and jit machinery are rebuilt lazily
     state["_prefix_cache"] = None
     state["_current_cache"] = None
+    state["_advance_hint"] = None
     minimizer = state.pop("minimizer", None)
     if minimizer is not None:
         state["minimizer_fraction"] = minimizer.rotosolve_fraction

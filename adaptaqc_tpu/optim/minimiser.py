@@ -100,12 +100,19 @@ class CostMinimiser:
         # every sweep cycle. With the reference-default schedule
         # (rotosolve_frequency=1, max_layers_to_modify=100) the per-layer
         # Rotoselect would otherwise re-simulate ~100 frozen layers per
-        # cycle to optimise the ~7 new gates.
+        # cycle to optimise the ~7 new gates. When the compiler stashed an
+        # advance hint (the state up to the modify window, peeled from its
+        # full-state cache), even that single advance pass is skipped.
         tape_start = var_range[0]
+        hint = getattr(comp, "_advance_hint", None)
+        comp._advance_hint = None
         if indexes_to_modify[0] > tape_start:
-            pre_tape = compile_tape(self.full_circuit,
-                                    (tape_start, indexes_to_modify[0]))
-            prefix = comp.backend.run_tape(prefix, pre_tape)
+            if hint is not None and hint[0] == indexes_to_modify[0]:
+                prefix = hint[1]
+            else:
+                pre_tape = compile_tape(self.full_circuit,
+                                        (tape_start, indexes_to_modify[0]))
+                prefix = comp.backend.run_tape(prefix, pre_tape)
             tape_start = indexes_to_modify[0]
 
         # tape covers the modify window + fixed rhs gates (suffix)
@@ -126,10 +133,12 @@ class CostMinimiser:
         q1 = jnp.asarray(tape.q1)
 
         logger.info(f"Starting {alg_name}")
+        final_state = None
         if self.rotosolve_fraction >= 1.0 or rotoselect:
             # fully fused: all cycles + convergence checks in ONE device call
             dt = angles.dtype
-            kinds, angles, cost_dev, cycles, evals = sweeps.sweep_until_converged(
+            (kinds, angles, cost_dev, cycles, evals,
+             final_state) = sweeps.sweep_until_converged(
                 engine, bl, rotoselect, int(max_cycles), prefix, ref, kinds,
                 q0, q1, angles, jnp.asarray(full_mask),
                 jnp.asarray(stop_val, dt), jnp.asarray(tol, dt))
@@ -143,7 +152,7 @@ class CostMinimiser:
             cost_history = []
             while cost > stop_val and cycles < max_cycles:
                 mask = self._cycle_mask(tape, full_mask, base_indices, rotoselect)
-                kinds, angles, cost_dev, _, evals, _ov2 = sweeps.sweep(
+                kinds, angles, cost_dev, final_state, evals, _ov2 = sweeps.sweep(
                     engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
                     jnp.asarray(mask))
                 comp.cost_evaluation_counter += int(evals)
@@ -157,6 +166,13 @@ class CostMinimiser:
         writeback_angles(self.full_circuit, tape_range, tape,
                          np.asarray(kinds), np.asarray(angles))
         comp._invalidate_current()
+        if final_state is not None:
+            # the sweep's final state IS the state of the whole full_circuit
+            # at the written-back angles (the tape ran through the rhs
+            # suffix): seed the cache so state_of()/pair scoring do not
+            # re-simulate the unabsorbed tape — at 50q that re-simulation
+            # is ~200 bond SVDs (~0.4 s) per layer
+            comp._current_cache = final_state
         logger.info(f"{alg_name} finished with cost {cost}")
         return cost
 

@@ -40,6 +40,25 @@ from ..ops import cplx
 from .sinusoidal import minimum_of_sinusoidal_dev
 
 
+class EnvOps(NamedTuple):
+    """Optional incremental-environment support for `local_overlap`.
+
+    An engine that can cache transfer environments between the sweep's R/L
+    states exposes these three functions; the sweep then pays O(distance
+    between consecutive probed sites) per probe instead of O(n) full-chain
+    contractions (the dominant cost of window Rotosolve at large n).
+
+      init(state) -> env                      fresh env for one sweep
+      touch(env, t0, t1, active) -> env       invalidate after a gate
+                                              touched sites [t0, t1]
+      probe(env, r_state, l_state, q)
+          -> (C 2x2, env)                     advance to q and contract
+    """
+    init: Callable[..., Any]
+    touch: Callable[..., Any]
+    probe: Callable[..., Any]
+
+
 class SweepEngine(NamedTuple):
     """Pure functions the sweep needs from a simulation engine."""
     name: str
@@ -51,11 +70,19 @@ class SweepEngine(NamedTuple):
     local_overlap: Callable[..., Any]
     # (a, b) -> complex  <a|b>
     overlap: Callable[..., Any]
+    # optional EnvOps enabling incremental probe environments
+    env_ops: Any = None
 
 
 def _probe_and_update(engine, r_state, l_state, kind, q0, rotoselect: bool):
     """Closed-form best (kind, angle) for trainable gate k; returns
-    (new_kind, new_angle, overlap2_best, n_evals).
+    (new_kind, new_angle, overlap2_best, n_evals)."""
+    Cm = engine.local_overlap(r_state, l_state, q0)  # cplx.C 2x2
+    return _best_from_overlap_matrix(Cm, kind, rotoselect)
+
+
+def _best_from_overlap_matrix(Cm, kind, rotoselect: bool):
+    """Closed-form best (kind, angle) from the 2x2 local overlap matrix.
 
     For U(theta) = cos(theta/2) I - i sin(theta/2) P_axis:
     z(theta) = cos(theta/2) tr(C) - i sin(theta/2) tr(P_axis C), with the
@@ -67,7 +94,6 @@ def _probe_and_update(engine, r_state, l_state, kind, q0, rotoselect: bool):
     in f32 and kills the optimisation signal, while |z|^2 ~ 1e-12 is
     perfectly representable.
     """
-    Cm = engine.local_overlap(r_state, l_state, q0)  # cplx.C 2x2
     t_i = Cm[0, 0] + Cm[1, 1]
     t_x = Cm[0, 1] + Cm[1, 0]
     t_y = (Cm[1, 0] - Cm[0, 1]).mul_i()
@@ -142,8 +168,14 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
         ckpts = jax.tree.map(lambda v: jnp.flip(v, 0), cks)  # ckpts[b]
 
     # ---- phase B: forward sweep -------------------------------------------
+    # With EnvOps (MPS engine), probe environments advance incrementally:
+    # O(site distance between consecutive probes) transfer steps instead of
+    # one O(n) full-chain contraction per probe.
+    use_env = engine.env_ops is not None
+    env0 = engine.env_ops.init(prefix_state) if use_env else ()
+
     def block_fwd(carry, xs):
-        l_state, ov2_last, evals = carry
+        l_state, ov2_last, evals, env = carry
         ck, xk, xq0, xq1, xang, xsel = xs
 
         # regenerate the BL right-states of this block from its checkpoint
@@ -156,27 +188,50 @@ def sweep(engine: SweepEngine, block_len: int, rotoselect: bool,
         r_buf = jax.tree.map(lambda v: jnp.flip(v, 0), r_rev)  # r_buf[i] = R for gate i
 
         def gate_fwd(c, x):
-            l_state, ov2_last, evals = c
+            l_state, ov2_last, evals, env = c
             k, a, b, th, sel, r_state = x
 
-            def probed():
-                return _probe_and_update(engine, r_state, l_state, k, a,
-                                         rotoselect)
+            if use_env:
+                # sites touched by gate k: it moves BOTH states this step
+                # (R_{k-1} -> R_k before the probe, L gains gate k after)
+                is2q = ((k == G.CX) | (k == G.CZ) | (k == G.SWAP)
+                        | (k >= G.N_KINDS))
+                t1 = jnp.where(is2q, b, a)
+                active = k != G.NOP
+                env = engine.env_ops.touch(env, a, t1, active)
+                # probe UNCONDITIONALLY (no-op frontiers when unselected):
+                # only the 2x2 result crosses lax.cond — conditioning the
+                # big env buffers would copy them at every gate step
+                Cm, env = engine.env_ops.probe(env, r_state, l_state, a,
+                                               sel)
 
-            def skipped():
-                return k, th, ov2_last, jnp.int32(0)
+                def probed(cm):
+                    return _best_from_overlap_matrix(cm, k, rotoselect)
 
-            nk, na, ov2, ne = lax.cond(sel, probed, skipped)
+                def skipped(cm):
+                    return k, th, ov2_last, jnp.int32(0)
+
+                nk, na, ov2, ne = lax.cond(sel, probed, skipped, Cm)
+                env = engine.env_ops.touch(env, a, t1, active)
+            else:
+                def probed():
+                    return _probe_and_update(engine, r_state, l_state, k, a,
+                                             rotoselect)
+
+                def skipped():
+                    return k, th, ov2_last, jnp.int32(0)
+
+                nk, na, ov2, ne = lax.cond(sel, probed, skipped)
             l_state = engine.apply(l_state, nk, a, b, na)
-            return (l_state, ov2, evals + ne), (nk, na)
+            return (l_state, ov2, evals + ne, env), (nk, na)
 
-        (l_state, ov2_last, evals), (nks, nas) = lax.scan(
-            gate_fwd, (l_state, ov2_last, evals),
+        (l_state, ov2_last, evals, env), (nks, nas) = lax.scan(
+            gate_fwd, (l_state, ov2_last, evals, env),
             (xk, xq0, xq1, xang, xsel, r_buf))
-        return (l_state, ov2_last, evals), (nks, nas)
+        return (l_state, ov2_last, evals, env), (nks, nas)
 
-    init = (prefix_state, jnp.asarray(0.0, angles.dtype), jnp.int32(0))
-    (l_state, ov2_last, evals), (nks, nas) = lax.scan(
+    init = (prefix_state, jnp.asarray(0.0, angles.dtype), jnp.int32(0), env0)
+    (l_state, ov2_last, evals, _), (nks, nas) = lax.scan(
         block_fwd, init, (ckpts, bk, bq0, bq1, bang, bsel))
 
     new_kinds = nks.reshape(Gp)
@@ -236,7 +291,10 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
     signal is still moving. One host<->device round trip per minimize_cost
     call instead of one per cycle.
 
-    Returns (kinds, angles, final_cost, cycles, evals).
+    Returns (kinds, angles, final_cost, cycles, evals, final_state):
+    final_state is the engine state of prefix+tape at the returned angles —
+    callers seed their full-state caches with it instead of re-simulating
+    the tape (at 50q the re-simulation costs ~0.4 s of SVDs per layer).
     """
     # initial cost of the unmodified tape (the reference's leading
     # cost_finder() call)
@@ -253,7 +311,7 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
     big = jnp.asarray(1e30, angles.dtype)
 
     def cond(carry):
-        k, a, cost, hist, ov2_hist, cycle, evals = carry
+        k, a, cost, hist, ov2_hist, cycle, evals, state = carry
         not_done = (cost > stop_val) & (cycle < max_cycles)
         cost_stopped = _stopped_improving_dev(hist, tol)
         # overlap^2 grows when improving: stopped when relative growth < tol
@@ -264,18 +322,20 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
         return not_done & improving
 
     def body(carry):
-        k, a, cost, hist, ov2_hist, cycle, evals = carry
-        k, a, cost, _, ev, ov2 = sweep(engine, block_len, rotoselect,
-                                       prefix_state, ref_state, k, q0s, q1s,
-                                       a, select)
+        k, a, cost, hist, ov2_hist, cycle, evals, state = carry
+        k, a, cost, state, ev, ov2 = sweep(engine, block_len, rotoselect,
+                                           prefix_state, ref_state, k, q0s,
+                                           q1s, a, select)
         hist = jnp.stack([hist[1], hist[2], cost])
         ov2_hist = jnp.stack([ov2_hist[1], ov2_hist[2], ov2])
-        return (k, a, cost, hist, ov2_hist, cycle + 1, evals + ev)
+        return (k, a, cost, hist, ov2_hist, cycle + 1, evals + ev, state)
 
     init = (kinds, angles, cost0, jnp.stack([big, big, big]),
-            jnp.zeros(3, angles.dtype), jnp.int32(0), jnp.int32(1))
-    k, a, cost, hist, ov2_hist, cycles, evals = lax.while_loop(cond, body, init)
-    return k, a, cost, cycles, evals
+            jnp.zeros(3, angles.dtype), jnp.int32(0), jnp.int32(1),
+            init_state)
+    (k, a, cost, hist, ov2_hist, cycles, evals,
+     state) = lax.while_loop(cond, body, init)
+    return k, a, cost, cycles, evals, state
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))

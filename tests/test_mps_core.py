@@ -108,6 +108,41 @@ def test_all_pair_rdms_match_sv():
             np.testing.assert_allclose(rho_mps, rho_sv, atol=1e-5)
 
 
+@pytest.mark.parametrize("rotoselect", [False, True])
+def test_env_cached_sweep_matches_full_chain(rotoselect):
+    """The incremental-environment probe path must reproduce the full-chain
+    sweep bit-for-bit semantics across block boundaries, swap-routed 2q
+    gates and NOP padding."""
+    rng = np.random.default_rng(41)
+    n, chi = 5, 8
+    target = random_circuit(n, 10, rng)
+    prefix = run_mps(target, chi)
+    ref = mps_core.zero_mps(n, chi)
+    ansatz = Circuit(n)
+    for _ in range(8):
+        a, b = map(int, rng.choice(n, size=2, replace=False))
+        ansatz.ry(float(rng.uniform(-3, 3)), a)
+        ansatz.cx(a, b)  # arbitrary order/distance
+        ansatz.rz(float(rng.uniform(-3, 3)), b)
+    tape = compile_tape(ansatz)
+    args = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+            jnp.asarray(tape.trainable))
+    eng_env = mps_core.sweep_engine(THR, allow_env_cache=True)
+    eng_plain = mps_core.sweep_engine(THR, allow_env_cache=False)
+    assert eng_env.env_ops is not None and eng_plain.env_ops is None
+    for bl in (tape.padded_length, 8):  # single- and multi-block
+        out_env = sweeps.sweep(eng_env, bl, rotoselect, prefix, ref, *args)
+        out_plain = sweeps.sweep(eng_plain, bl, rotoselect, prefix, ref,
+                                 *args)
+        np.testing.assert_allclose(np.asarray(out_env[0]),
+                                   np.asarray(out_plain[0]))  # kinds
+        np.testing.assert_allclose(np.asarray(out_env[1]),
+                                   np.asarray(out_plain[1]), atol=1e-9)
+        np.testing.assert_allclose(float(out_env[5]), float(out_plain[5]),
+                                   atol=1e-9)
+
+
 def test_pair_op_overlaps_matches_batched_chains():
     """The env-cached pair scorer must agree with the sequential full-chain
     contraction for ascending, descending, adjacent and distant pairs."""
