@@ -46,7 +46,9 @@ class AdaptConfig:
         self.sufficient_cost = sufficient_cost
         self.max_2q_gates = max_2q_gates
         self.cost_improvement_tol = cost_improvement_tol
-        self.cost_improvement_num_layers = int(cost_improvement_num_layers)
+        # may be float — callers pass math.inf to disable the plateau check
+        # (reference adapt_config.py keeps the raw value)
+        self.cost_improvement_num_layers = cost_improvement_num_layers
         self.max_layers_to_modify = max_layers_to_modify
         self.method = method
         self.rotosolve_frequency = rotosolve_frequency

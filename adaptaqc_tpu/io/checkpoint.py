@@ -101,6 +101,8 @@ def decode_compiler_state(compiler, state: Dict[str, Any]) -> None:
     compiler.__dict__.update(state)
     compiler.backend = backend
     compiler.target = None
+    compiler.__dict__.setdefault("_advance_hint", None)
+    compiler.__dict__.setdefault("_absorption_bias", 0.0)
 
     n = compiler.full_circuit.num_qubits if compiler.full_circuit else 0
     chi = backend.chi_for(n) if isinstance(backend, MPSBackend) else None

@@ -1,0 +1,157 @@
+"""Invariant tests for the engine-state reuse layer.
+
+The optimiser seeds the compiler's full-state cache with the sweep's final
+state, absorption preserves it across the prefix/tape boundary move, pair
+scoring peels the starting circuit off it with exact 1q adjoints, and the
+per-layer Rotoselect consumes a pre-insertion advance hint. Each of these
+must be indistinguishable from a fresh re-simulation — these tests compare
+every cached object against the from-scratch computation the reference
+semantics imply (approximate_compiler.py:514-527 re-simulates per query).
+"""
+
+import numpy as np
+import pytest
+
+from adaptaqc_tpu import AdaptCompiler, AdaptConfig, MPSBackend, Circuit
+from adaptaqc_tpu.backends import mps_core
+from adaptaqc_tpu.circuits import operations as co
+from adaptaqc_tpu.circuits.tape import compile_tape
+
+from reference_sim import simulate
+from test_sv_core import random_circuit
+
+
+def _mps_compiler(n=4, seed=31, with_start=True):
+    rng = np.random.default_rng(seed)
+    qc = random_circuit(n, 10, rng)
+    start = None
+    if with_start:
+        start = Circuit(n)
+        for q in range(n):
+            start.ry(float(rng.uniform(-1, 1)), q)
+    return AdaptCompiler(qc, backend=MPSBackend(max_chi=8),
+                         starting_circuit=start,
+                         adapt_config=AdaptConfig(max_layers=3,
+                                                  sufficient_cost=1e-12))
+
+
+def _fresh_full_state(compiler):
+    """Re-simulate the whole full_circuit from its target instruction,
+    bypassing every cache."""
+    qc = compiler.full_circuit
+    state = compiler.backend.initial_state(qc, qc.num_qubits)
+    start = 1 if qc.data and qc.data[0].name in ("set_mps",
+                                                 "set_statevector") else 0
+    rng = (start, len(qc.data))
+    if rng[1] > rng[0]:
+        state = compiler.backend.run_tape(state, compile_tape(qc, rng))
+    return state
+
+
+def test_current_cache_matches_fresh_resimulation():
+    compiler = _mps_compiler()
+    compiler.compile()
+    # after compile the caches were rebuilt several times; run one more
+    # layer-style optimisation to re-seed, then compare
+    assert compiler._current_cache is not None
+    cached = compiler._current_cache
+    fresh = _fresh_full_state(compiler)
+    np.testing.assert_allclose(mps_core.to_dense(cached),
+                               mps_core.to_dense(fresh), atol=1e-5)
+
+
+def test_state_without_starting_circuit_fast_path_matches_slow():
+    compiler = _mps_compiler()
+    compiler.compile()
+    assert compiler._current_cache is not None
+    fast = compiler._state_without_starting_circuit()
+    compiler._invalidate_current()  # force the slow re-simulation branch
+    slow = compiler._state_without_starting_circuit()
+    np.testing.assert_allclose(mps_core.to_dense(fast),
+                               mps_core.to_dense(slow), atol=1e-5)
+
+
+def test_advance_hint_matches_direct_prefix():
+    compiler = _mps_compiler(seed=33)
+    compiler.compile()
+    insert_at = compiler.variational_circuit_range()[1]
+    compiler._stash_advance_hint(insert_at)
+    assert compiler._advance_hint is not None
+    idx, hint_state = compiler._advance_hint
+    assert idx == insert_at
+    qc = compiler.full_circuit
+    state = compiler.backend.initial_state(qc, qc.num_qubits)
+    start = 1 if qc.data[0].name in ("set_mps", "set_statevector") else 0
+    direct = compiler.backend.run_tape(state,
+                                       compile_tape(qc, (start, insert_at)))
+    np.testing.assert_allclose(mps_core.to_dense(hint_state),
+                               mps_core.to_dense(direct), atol=1e-5)
+
+
+def test_absorption_preserves_current_cache():
+    """Absorbing gates into the MPS prefix moves the prefix/tape boundary
+    but not the physical state: the preserved cache must equal a fresh
+    re-simulation of the post-absorption circuit."""
+    rng = np.random.default_rng(34)
+    qc = random_circuit(4, 10, rng)
+    compiler = AdaptCompiler(
+        qc, backend=MPSBackend(max_chi=8),
+        adapt_config=AdaptConfig(max_layers=3, sufficient_cost=1e-12,
+                                 rotosolve_frequency=1,
+                                 max_layers_to_modify=1))
+    compiler.compile()  # absorbs every finalised layer
+    cached = compiler._current_cache
+    assert cached is not None
+    fresh = _fresh_full_state(compiler)
+    np.testing.assert_allclose(mps_core.to_dense(cached),
+                               mps_core.to_dense(fresh), atol=1e-5)
+
+
+def test_compile_preserves_classical_operations():
+    """Measurements and classical bits survive compilation (reference
+    test_adapt_compiler.py cregs/measurement preservation tests)."""
+    n = 3
+    rng = np.random.default_rng(35)
+    qc = random_circuit(n, 10, rng)
+    qc.num_clbits = n
+    for q in range(n):
+        qc.measure(q, q)
+    compiler = AdaptCompiler(qc)
+    result = compiler.compile()
+    assert result.overlap > 0.99
+    assert result.circuit.num_clbits == n
+    measures = [i for i in result.circuit.data if i.name == "measure"]
+    assert len(measures) == n
+    # the measured state must match the target (quantum-only comparison)
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 0.97
+
+
+def test_no_false_convergence_under_binding_chi():
+    """With a binding chi cap the in-loop absorbed-prefix cost can read
+    below sufficient_cost while the exact re-simulation does not; the
+    compiler must verify before accepting the stop. Invariant: a compile
+    never terminates early claiming success unless the final (exact,
+    re-simulated) overlap actually clears the threshold."""
+    rng = np.random.default_rng(37)
+    qc = random_circuit(4, 12, rng)
+    config = AdaptConfig(max_layers=40, sufficient_cost=1e-2,
+                         cost_improvement_num_layers=float("inf"),
+                         rotosolve_frequency=1, max_layers_to_modify=2)
+    compiler = AdaptCompiler(qc, backend=MPSBackend(max_chi=2),
+                             adapt_config=config)
+    result = compiler.compile()
+    stopped_early = len(result.qubit_pair_history) < config.max_layers
+    if stopped_early:
+        assert result.overlap > 1 - config.sufficient_cost
+
+
+def test_float_cost_improvement_num_layers_accepted():
+    """The reference tolerates a float cost_improvement_num_layers
+    (test_given_compiler_when_float_cost_improvement_num_layers_then_no_error)."""
+    qc = random_circuit(3, 8, np.random.default_rng(36))
+    for cinl in (8.0, float("inf")):
+        config = AdaptConfig(cost_improvement_num_layers=cinl, max_layers=4)
+        result = AdaptCompiler(qc, adapt_config=config).compile()
+        assert result.overlap >= 0.0
