@@ -493,8 +493,22 @@ def from_qiskit_mps(qmps, chi: int, dtype=None) -> MPS:
                 raise ValueError(f"bond dim {m.shape} exceeds padded chi={chi}")
             bre[i, p, :dl, :dr] = m.real * lam_r[:dr]
             bim[i, p, :dl, :dr] = m.imag * lam_r[:dr]
-    return MPS(C(jnp.asarray(bre, dtype), jnp.asarray(bim, dtype)),
-               jnp.asarray(lam, dtype), jnp.zeros((), dtype))
+    state = MPS(C(jnp.asarray(bre, dtype), jnp.asarray(bim, dtype)),
+                jnp.asarray(lam, dtype), jnp.zeros((), dtype))
+    # guard against non-canonical input (a properly Vidal-canonical Qiskit
+    # MPS has norm 1 by construction, but nothing enforces callers pass
+    # one): a silently unnormalised target makes every overlap cost
+    # meaningless (cost 1-|z|^2 can go hugely negative and fake instant
+    # convergence). Normalise in f64 on host.
+    nrm2 = float(np.real(np.asarray(mps_dot(state, state).re)))
+    if not np.isfinite(nrm2) or nrm2 <= 0:
+        raise ValueError(f"qiskit MPS import has invalid norm^2 {nrm2}")
+    if abs(nrm2 - 1.0) > 1e-6:
+        scale = 1.0 / np.sqrt(nrm2)
+        b = C(state.b.re.at[0].multiply(scale),
+              state.b.im.at[0].multiply(scale))
+        state = MPS(b, state.lam, state.trunc)
+    return state
 
 
 def to_qiskit_mps(state: MPS):

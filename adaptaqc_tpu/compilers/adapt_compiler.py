@@ -596,10 +596,16 @@ class AdaptCompiler(ApproximateCompiler):
         if (not self.is_mps_backend or self.optimise_local_cost
                 or self.soften_global_cost):
             return True
-        if self.lhs_gate_count <= 1 and not self.layers_saved_to_mps.data:
-            return True  # nothing absorbed: the in-loop cost is the cost
         from ..backends import mps_core
-        qc = self.ref_circuit_as_gates
+        # simulate what will actually be returned: the full ansatz with the
+        # end-of-compile gate cleanup applied. At 50q the cleanup's
+        # small-angle pruning alone can move the overlap by ~1e-3 — a stop
+        # accepted on the raw in-loop cost can deliver a circuit just below
+        # the requested overlap.
+        qc = self.ref_circuit_as_gates.copy()
+        remove_unnecessary_gates_from_circuit(
+            qc, True, True,
+            gate_range=(1, len(qc.data) - self.rhs_gate_count))
         state = self.backend.initial_state(qc, qc.num_qubits)
         rng = (1, len(qc.data))
         if rng[1] > rng[0]:

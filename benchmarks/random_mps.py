@@ -30,21 +30,30 @@ def load_target(seed: int):
 
 
 def random_target(seed: int, n=50, chi=2):
-    """Self-contained substitute when the reference data is unavailable:
-    a random chi=2 MPS in Qiskit format."""
+    """Self-contained substitute when the reference data is unavailable: a
+    random low-chi MPS in Qiskit format, built CANONICALLY by evolving |0>
+    with a random brickwall of 2q gates at bond cap `chi` and exporting
+    (a haphazard Gamma/lambda draw is not a valid Vidal-canonical state)."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.circuit import Circuit
+    from adaptaqc_tpu.circuits.tape import compile_tape
+
     rng = np.random.default_rng(seed)
-    gams, lams = [], []
-    dims = [1] + [chi] * (n - 1) + [1]
-    for i in range(n):
-        dl, dr = dims[i], dims[i + 1]
-        pair = tuple(rng.normal(size=(dl, dr)) + 1j * rng.normal(size=(dl, dr))
-                     for _ in range(2))
-        gams.append(pair)
-        if i < n - 1:
-            v = np.sort(rng.uniform(0.2, 1.0, size=dims[i + 1]))[::-1]
-            lams.append(v / np.linalg.norm(v))
-    # normalise site tensors roughly (the compiler renormalises anyway)
-    return gams, lams
+    qc = Circuit(n)
+    for q in range(n):
+        qc.ry(float(rng.uniform(-3, 3)), q)
+    for layer in range(2):
+        for q in range(layer % 2, n - 1, 2):
+            qc.cx(q, q + 1)
+        for q in range(n):
+            qc.rz(float(rng.uniform(-3, 3)), q)
+    tape = compile_tape(qc)
+    state = mps_core.apply_tape(
+        mps_core.zero_mps(n, chi), jnp.asarray(tape.kinds),
+        jnp.asarray(tape.q0), jnp.asarray(tape.q1),
+        jnp.asarray(tape.angles), 1e-16)
+    return mps_core.to_qiskit_mps(state)
 
 
 def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=400,
@@ -85,6 +94,24 @@ def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=400,
     return result, wall
 
 
+def independent_overlap(qmps, circuit, chi=64):
+    """|<target| circuit |0>|^2 re-simulated from scratch at bond dimension
+    `chi` — an independent check of the compiler-reported overlap (matters
+    when the compile itself ran at a smaller working chi)."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.operations import make_quantum_only_circuit
+    from adaptaqc_tpu.circuits.tape import compile_tape
+
+    target = mps_core.from_qiskit_mps(qmps, chi)
+    tape = compile_tape(make_quantum_only_circuit(circuit))
+    state = mps_core.apply_tape(
+        mps_core.zero_mps(len(qmps[0]), chi), jnp.asarray(tape.kinds),
+        jnp.asarray(tape.q0), jnp.asarray(tape.q1),
+        jnp.asarray(tape.angles), 1e-16)
+    return float(mps_core.mps_dot(target, state).abs2())
+
+
 def main():
     import json
     import os
@@ -100,11 +127,14 @@ def main():
             source = "synthetic fallback"
         result, wall = compile_target(qmps)
         layers = len(result.qubit_pair_history)
+        overlap64 = independent_overlap(qmps, result.circuit)
         record = {
             "seed": seed,
             "source": source,
             "n_qubits": len(qmps[0]),
             "overlap": round(result.overlap, 4),
+            "overlap_chi64_check": round(overlap64, 4),
+            "working_chi": int(os.environ.get("RMPS_CHI", 64)),
             "layers": layers,
             "num_2q_gates": result.num_2q_gates,
             "cnot_depth": result.cnot_depth_history[-1],
@@ -112,7 +142,8 @@ def main():
             "wall_seconds": round(wall, 1),
             "evals_per_sec": round(result.cost_evaluations / wall, 1),
         }
-        print(f"seed {seed}: overlap={result.overlap:.4f} layers={layers} "
+        print(f"seed {seed}: overlap={result.overlap:.4f} "
+              f"(chi64 check {overlap64:.4f}) layers={layers} "
               f"2q_gates={result.num_2q_gates} "
               f"cnot_depth={result.cnot_depth_history[-1]} "
               f"evals={result.cost_evaluations} wall={wall:.1f}s "
