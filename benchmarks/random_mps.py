@@ -60,9 +60,15 @@ def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=400,
                    method="general_gradient"):
     import os
     if max_chi is None:
-        # chi=32 runs ~2x faster; chi=64 keeps the absorbed-prefix cost
-        # within ~1e-3 of the exact re-simulation at termination
-        max_chi = int(os.environ.get("RMPS_CHI", 64))
+        # chi=32 is the right operating point: the 4*chi real-embedded eigh
+        # inside every 2q apply costs 0.11 ms at chi=32 vs 1.6 ms at chi=64
+        # (native Eigh scales ~n^3.5), and the old chi=32 blocker — the
+        # absorbed-prefix cost reading optimistic near threshold — is gone
+        # now that sufficient-cost stops are verified against an exact
+        # re-simulation of the cleaned circuit. Every record also carries an
+        # independent chi=64 re-check of the final overlap (seed 17: working
+        # estimate 0.9904, chi=64 check 0.9914, 321 s vs 1048 s at chi=64).
+        max_chi = int(os.environ.get("RMPS_CHI", 32))
     from adaptaqc_tpu import AdaptCompiler, AdaptConfig, mps_backend_with_args
     from adaptaqc_tpu.utils.ansatzes import identity_resolvable
     from adaptaqc_tpu.utils.constants import CMAP_LINEAR, generate_coupling_map
