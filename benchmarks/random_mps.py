@@ -56,7 +56,7 @@ def random_target(seed: int, n=50, chi=2):
     return mps_core.to_qiskit_mps(state)
 
 
-def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=400,
+def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=None,
                    method="general_gradient"):
     import os
     if max_chi is None:
@@ -69,6 +69,10 @@ def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=400,
         # independent chi=64 re-check of the final overlap (seed 17: working
         # estimate 0.9904, chi=64 check 0.9914, 321 s vs 1048 s at chi=64).
         max_chi = int(os.environ.get("RMPS_CHI", 32))
+    if max_layers is None:
+        # the paper's hardest targets run to ~1226 CZ = ~600 identity-
+        # resolvable layers; 800 leaves margin (RMPS_LAYERS to override)
+        max_layers = int(os.environ.get("RMPS_LAYERS", 800))
     from adaptaqc_tpu import AdaptCompiler, AdaptConfig, mps_backend_with_args
     from adaptaqc_tpu.utils.ansatzes import identity_resolvable
     from adaptaqc_tpu.utils.constants import CMAP_LINEAR, generate_coupling_map
@@ -124,13 +128,20 @@ def main():
     seeds = [int(s) for s in sys.argv[1:]] or [1]
     results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "results_random_mps.jsonl")
+    n_override = int(os.environ.get("RMPS_N", 0))
     for seed in seeds:
-        try:
-            qmps = load_target(seed)
-            source = "reference paper target"
-        except OSError:
-            qmps = random_target(seed)
-            source = "synthetic fallback"
+        if n_override:
+            # scale demonstration beyond the reference's 50q paper targets:
+            # a synthetic canonical random MPS at RMPS_N qubits
+            qmps = random_target(seed, n=n_override)
+            source = f"synthetic n={n_override}"
+        else:
+            try:
+                qmps = load_target(seed)
+                source = "reference paper target"
+            except OSError:
+                qmps = random_target(seed)
+                source = "synthetic fallback"
         result, wall = compile_target(qmps)
         layers = len(result.qubit_pair_history)
         overlap64 = independent_overlap(qmps, result.circuit)
