@@ -76,5 +76,12 @@ def coupling_map_ladder(num_qubits, both_dir=False, loop=False):
     return c_map
 
 
+def get_initial_layout(circuit):
+    """{logical_qubit: physical_qubit} layout of a circuit (reference
+    constants.py:122-131). Our IR addresses qubits by integer index, so the
+    layout is the identity mapping."""
+    return {q: q for q in range(circuit.num_qubits)}
+
+
 def convert_cmap_to_qiskit_format(c_map):
     return [list(pair) for pair in c_map]

@@ -130,6 +130,67 @@ def test_are_circuits_identical_angle_tolerance():
     assert not co.are_circuits_identical(a, d)
 
 
+def test_remove_permutations_keeps_order_and_uniqueness():
+    """(ref test_given_coupling_map_with_permutations_*): first occurrence
+    wins, original order preserved."""
+    cmap = [(0, 1), (1, 0), (2, 3), (1, 2), (3, 2), (0, 1)]
+    out = co.remove_permutations_from_coupling_map(cmap)
+    assert out == [(0, 1), (2, 3), (1, 2)]
+
+
+def test_ghz_compilation():
+    """Compile a GHZ state on both engines (ref test_GHZ)."""
+    from adaptaqc_tpu import AdaptCompiler, MPSBackend
+    n = 4
+    qc = Circuit(n)
+    qc.h(0)
+    for q in range(n - 1):
+        qc.cx(q, q + 1)
+    for backend in (None, MPSBackend(max_chi=8)):
+        kwargs = {"backend": backend} if backend is not None else {}
+        result = AdaptCompiler(qc.copy(), **kwargs).compile()
+        assert result.overlap > 0.99
+        sv_t = simulate(qc)
+        sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+        assert abs(np.vdot(sv_t, sv_s)) ** 2 > 0.97
+
+
+def test_adapt_result_fields_consistent():
+    """exact_overlap (SV backend) matches an independent statevector
+    overlap, and the recorded cnot depth matches the returned circuit
+    (ref test_exact_overlap_*, test_cnot_depth_in_adapt_result_correct)."""
+    from adaptaqc_tpu import AdaptCompiler
+    from test_sv_core import random_circuit
+    qc = random_circuit(3, 10, np.random.default_rng(44))
+    result = AdaptCompiler(qc).compile()
+    assert isinstance(result.exact_overlap, float)
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    independent = abs(np.vdot(sv_t, sv_s)) ** 2
+    assert abs(result.exact_overlap - independent) < 1e-5
+    assert abs(result.exact_overlap - result.overlap) < 5e-3
+    assert result.cnot_depth_history[-1] == \
+        co.make_quantum_only_circuit(result.circuit).multi_qubit_gate_depth()
+
+
+def test_expectation_values_callable_twice():
+    """Backend e-val queries are side-effect free (ref
+    test_given_circuit_when_mps_expectation_value_then_callable_twice)."""
+    from adaptaqc_tpu import AdaptCompiler, MPSBackend
+    from test_sv_core import random_circuit
+    qc = random_circuit(3, 8, np.random.default_rng(45))
+    compiler = AdaptCompiler(qc, backend=MPSBackend(max_chi=8))
+    first = compiler.backend.measure_qubit_expectation_values(compiler)
+    second = compiler.backend.measure_qubit_expectation_values(compiler)
+    np.testing.assert_allclose(first, second, atol=1e-7)
+
+
+def test_get_initial_layout_identity():
+    from adaptaqc_tpu.utils.constants import get_initial_layout
+    qc = Circuit(5)
+    assert get_initial_layout(qc) == {q: q for q in range(5)}
+
+
 def test_subscripted_custom_layer_compiles_distinct_variables():
     """AdaptCompiler subscripts the custom layer's variables per layer so
     parameterised layers stay independent (ref adapt_compiler.py get_layer
