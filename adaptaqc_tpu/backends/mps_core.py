@@ -534,6 +534,23 @@ def to_qiskit_mps(state: MPS):
     return gams, lams
 
 
+def pad_chi(state: MPS, new_chi: int) -> MPS:
+    """EXACT embedding of an MPS into a larger padded bond dimension (the
+    extra rows/columns are zero, so every contraction is unchanged)."""
+    n, chi = state.n, state.chi
+    if new_chi < chi:
+        raise ValueError("pad_chi cannot shrink the bond dimension")
+    if new_chi == chi:
+        return state
+    dt = state.lam.dtype
+    bre = jnp.zeros((n, 2, new_chi, new_chi), dt).at[:, :, :chi, :chi].set(
+        state.b.re)
+    bim = jnp.zeros((n, 2, new_chi, new_chi), dt).at[:, :, :chi, :chi].set(
+        state.b.im)
+    lam = jnp.zeros((n + 1, new_chi), dt).at[:, :chi].set(state.lam)
+    return MPS(C(bre, bim), lam, state.trunc)
+
+
 def check_mps(obj) -> bool:
     """Heuristic type check mirroring aqc_research.check_mps usage
     (approximate_compiler.py:121)."""

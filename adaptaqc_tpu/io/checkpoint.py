@@ -103,6 +103,7 @@ def decode_compiler_state(compiler, state: Dict[str, Any]) -> None:
     compiler.target = None
     compiler.__dict__.setdefault("_advance_hint", None)
     compiler.__dict__.setdefault("_absorption_bias", 0.0)
+    compiler.__dict__.setdefault("_layers_since_verify", 0)
 
     n = compiler.full_circuit.num_qubits if compiler.full_circuit else 0
     chi = backend.chi_for(n) if isinstance(backend, MPSBackend) else None
