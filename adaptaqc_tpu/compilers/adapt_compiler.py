@@ -609,6 +609,11 @@ class AdaptCompiler(ApproximateCompiler):
             return self.global_cost < self.adapt_config.sufficient_cost
         sufficient = self.adapt_config.sufficient_cost
         self._layers_since_verify += 1
+        # rate-limit: when the in-loop estimate keeps improving against a
+        # stalled true cost, the margin trigger would otherwise fire every
+        # layer and each check re-simulates the whole ansatz at 2x chi
+        if self._layers_since_verify < 5:
+            return False
         if self.global_cost < sufficient - self._absorption_bias:
             return True
         return (self.global_cost < self._VERIFY_BAND * sufficient
@@ -656,28 +661,36 @@ class AdaptCompiler(ApproximateCompiler):
 
     def _true_cost_of_gate_circuit(self, qc) -> float:
         """True cost of a pure-gate circuit whose data[0] is the target
-        state-injection instruction, re-simulated at double the working
-        bond dimension (exact zero-padding embedding of the target)."""
+        state-injection instruction, evaluated at double the working bond
+        dimension the way a USER would measure the deliverable:
+        |solution> = (gates)^dag |0> (identical gate sequence to simulating
+        the returned circuit forward), overlapped with the target embedded
+        exactly (zero padding) at the doubled chi. Evolving the target
+        forward through the ansatz instead gives a different truncation
+        path whose estimate sits ~1e-3 below this one at 50q — runs used
+        to grind hundreds of layers past the point where the returned
+        circuit already cleared the threshold."""
+        import jax.numpy as jnp
         from ..backends import mps_core
         n = qc.num_qubits
         chi = self.backend.chi_for(n)
         verify_chi = min(2 * chi, 2 ** ((n + 1) // 2))
         payload = qc.data[0].payload
         if qc.data[0].name == "set_statevector":
-            state = mps_core.from_dense(payload, verify_chi)
+            target = mps_core.from_dense(payload, verify_chi)
         elif isinstance(payload, mps_core.MPS):
-            state = mps_core.pad_chi(payload, verify_chi)
+            target = mps_core.pad_chi(payload, verify_chi)
         else:
-            state = mps_core.from_qiskit_mps(payload, verify_chi)
+            target = mps_core.from_qiskit_mps(payload, verify_chi)
         rng = (1, len(qc.data))
+        state = mps_core.zero_mps(n, verify_chi)
         if rng[1] > rng[0]:
-            import jax.numpy as jnp
             tape = compile_tape(qc, rng)
-            state = mps_core.apply_tape(
+            state = mps_core.apply_tape_adjoint(
                 state, jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
                 jnp.asarray(tape.q1), jnp.asarray(tape.angles),
                 self.backend.truncation_threshold)
-        return float(1.0 - mps_core.overlap_with_zero(state).abs2())
+        return float(1.0 - mps_core.mps_dot(state, target).abs2())
 
     def _stash_advance_hint(self, insert_at):
         """Hand the optimiser the engine state of full_circuit.data[:insert_at]
