@@ -147,6 +147,25 @@ def test_no_false_convergence_under_binding_chi():
         assert result.overlap > 1 - config.sufficient_cost
 
 
+def test_true_cost_matches_exact_statevector_overlap():
+    """The chi-doubled deliverable-side verification must equal the exact
+    |<target|solution>|^2 at small n (where 2*chi covers the full Schmidt
+    rank)."""
+    rng = np.random.default_rng(38)
+    qc = random_circuit(4, 10, rng)
+    compiler = AdaptCompiler(qc, backend=MPSBackend(max_chi=8),
+                             adapt_config=AdaptConfig(max_layers=3,
+                                                      sufficient_cost=1e-12))
+    result = compiler.compile()
+    true_cost = compiler._true_cost_of_gate_circuit(compiler.full_circuit)
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    exact = 1.0 - abs(np.vdot(sv_t, sv_s)) ** 2
+    assert abs(true_cost - exact) < 1e-4
+    # the reported overlap IS this quantity
+    assert abs((1.0 - result.overlap) - exact) < 1e-4
+
+
 def test_float_cost_improvement_num_layers_accepted():
     """The reference tolerates a float cost_improvement_num_layers
     (test_given_compiler_when_float_cost_improvement_num_layers_then_no_error)."""
