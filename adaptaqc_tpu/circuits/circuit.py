@@ -198,6 +198,7 @@ class Circuit:
         return self
 
     def measure(self, qubit, clbit):
+        self.num_clbits = max(self.num_clbits, int(clbit) + 1)
         return self._append(Instruction("measure", (qubit,), clbits=(clbit,)))
 
     def barrier(self, *qubits):
@@ -247,7 +248,12 @@ class Circuit:
 
     def depth(self, filter_function=None) -> int:
         """Circuit depth over qubits (and clbits), optionally filtered."""
-        levels = [0] * (self.num_qubits + self.num_clbits)
+        # clbit count can exceed num_clbits when instructions were spliced in
+        # directly (classical strip/restore paths), so size the level table
+        # from the data itself
+        nc = max([self.num_clbits]
+                 + [c + 1 for i in self.data for c in i.clbits])
+        levels = [0] * (self.num_qubits + nc)
         depth = 0
         for instr in self.data:
             if instr.name == "barrier":

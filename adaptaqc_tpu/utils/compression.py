@@ -124,12 +124,17 @@ def product_state_to_circuit(amps: np.ndarray) -> Circuit:
     qc = Circuit(n)
     for q in range(n):
         a, b = amps[q]
+        # ZYZ decomposition of the unitary whose first column is (a, b):
+        # state = Rz(phi) Ry(theta) Rz(lam) |0>. The leading Rz only
+        # contributes a global phase from |0>, but the reference's solutions
+        # carry the full rz-ry-rz triple per qubit (the transpiled chi=1
+        # unitary, utilityfunctions.py:329-353) so we emit it too.
         theta = 2 * np.arctan2(abs(b), abs(a))
         phi = float(np.angle(b) - np.angle(a))
-        if abs(theta) > 1e-12:
-            qc.ry(float(theta), q)
-        if abs(phi) > 1e-12 and abs(theta) > 1e-12:
-            qc.rz(phi, q)
+        lam = float(-(np.angle(a) + np.angle(b)))
+        qc.rz(lam, q)
+        qc.ry(float(theta), q)
+        qc.rz(phi, q)
     return qc
 
 

@@ -151,7 +151,7 @@ def main():
             "n_qubits": len(qmps[0]),
             "overlap": round(result.overlap, 4),
             "overlap_chi64_check": round(overlap64, 4),
-            "working_chi": int(os.environ.get("RMPS_CHI", 64)),
+            "working_chi": int(os.environ.get("RMPS_CHI", 32)),
             "layers": layers,
             "num_2q_gates": result.num_2q_gates,
             "cnot_depth": result.cnot_depth_history[-1],
