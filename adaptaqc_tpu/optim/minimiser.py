@@ -137,11 +137,16 @@ class CostMinimiser:
         if self.rotosolve_fraction >= 1.0 or rotoselect:
             # fully fused: all cycles + convergence checks in ONE device call
             dt = angles.dtype
+            # the full-state cache, when valid, IS prefix+tape at the input
+            # angles: hand it over so the fused loop skips its initial-cost
+            # re-simulation of the tape (G applies incl. every bond SVD)
+            init_state = comp._current_cache
+            init_state = () if init_state is None else init_state
             (kinds, angles, cost_dev, cycles, evals,
              final_state) = sweeps.sweep_until_converged(
                 engine, bl, rotoselect, int(max_cycles), prefix, ref, kinds,
                 q0, q1, angles, jnp.asarray(full_mask),
-                jnp.asarray(stop_val, dt), jnp.asarray(tol, dt))
+                jnp.asarray(stop_val, dt), jnp.asarray(tol, dt), init_state)
             comp.cost_evaluation_counter += int(evals)
             cost = float(cost_dev)
             logger.info(f"{alg_name} ran {int(cycles)} cycles on device")

@@ -278,7 +278,8 @@ def _stopped_improving_dev(hist3, rel_tol):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
                           max_cycles: int, prefix_state, ref_state, kinds,
-                          q0s, q1s, angles, select, stop_val, tol):
+                          q0s, q1s, angles, select, stop_val, tol,
+                          init_state=()):
     """Run Rotosolve/Rotoselect cycles to convergence entirely on device.
 
     Replicates CostMinimiser.minimize_cost's cycle loop
@@ -291,20 +292,28 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
     signal is still moving. One host<->device round trip per minimize_cost
     call instead of one per cycle.
 
+    `init_state` (optional): the engine state of prefix+tape at the input
+    angles, when the caller already holds it (the compiler's full-state
+    cache). Passing it skips the initial-cost re-simulation of the whole
+    tape — with the reference-default schedule that pass is ~1/3 of a full
+    sweep cycle (G gate applies incl. every bond SVD) per minimize_cost
+    call. Pass () to have it computed here.
+
     Returns (kinds, angles, final_cost, cycles, evals, final_state):
     final_state is the engine state of prefix+tape at the returned angles —
     callers seed their full-state caches with it instead of re-simulating
     the tape (at 50q the re-simulation costs ~0.4 s of SVDs per layer).
     """
-    # initial cost of the unmodified tape (the reference's leading
-    # cost_finder() call)
-    def apply_all(state, k, a, b, th):
-        def body(s, x):
-            return engine.apply(s, *x), None
-        s, _ = lax.scan(body, state, (k, a, b, th))
-        return s
+    if isinstance(init_state, tuple) and init_state == ():
+        # initial cost of the unmodified tape (the reference's leading
+        # cost_finder() call)
+        def apply_all(state, k, a, b, th):
+            def body(s, x):
+                return engine.apply(s, *x), None
+            s, _ = lax.scan(body, state, (k, a, b, th))
+            return s
 
-    init_state = apply_all(prefix_state, kinds, q0s, q1s, angles)
+        init_state = apply_all(prefix_state, kinds, q0s, q1s, angles)
     ov2_0 = engine.overlap(ref_state, init_state).abs2()
     cost0 = 1.0 - ov2_0
 

@@ -174,3 +174,42 @@ def test_float_cost_improvement_num_layers_accepted():
         config = AdaptConfig(cost_improvement_num_layers=cinl, max_layers=4)
         result = AdaptCompiler(qc, adapt_config=config).compile()
         assert result.overlap >= 0.0
+
+
+def test_sweep_until_converged_with_init_state_matches():
+    """Supplying the caller's full-state cache as init_state must be
+    indistinguishable from the self-computed initial state (same kinds,
+    angles, cost, cycle count, final state)."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import sv_core
+    from adaptaqc_tpu.optim import sweeps
+
+    rng = np.random.default_rng(3)
+    qc = random_circuit(4, 12, rng)
+    tape = compile_tape(qc)
+    engine = sv_core.sweep_engine()
+    prefix = sv_core.zero_state(4)
+    ref = sv_core.zero_state(4)
+    args = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles))
+    sel = jnp.asarray(tape.trainable)
+    bl = sweeps.default_block_len(tape.padded_length)
+    stop = jnp.asarray(1e-5, jnp.float32)
+    tol = jnp.asarray(1e-5, jnp.float32)
+
+    out_auto = sweeps.sweep_until_converged(
+        engine, bl, True, 8, prefix, ref, args[0], args[1], args[2],
+        args[3], sel, stop, tol)
+
+    # the state the caller's cache would hold: prefix + tape at input angles
+    init_state = sv_core.apply_tape(prefix, *args)
+    out_cached = sweeps.sweep_until_converged(
+        engine, bl, True, 8, prefix, ref, args[0], args[1], args[2],
+        args[3], sel, stop, tol, init_state)
+
+    for a, b in zip(out_auto[:5], out_cached[:5]):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert np.allclose(np.asarray(out_auto[5].re), np.asarray(out_cached[5].re),
+                       atol=1e-6)
+    assert np.allclose(np.asarray(out_auto[5].im), np.asarray(out_cached[5].im),
+                       atol=1e-6)
