@@ -269,7 +269,17 @@ def eigh_top(h: C, keep: int):
     w2, v2 = jnp.linalg.eigh(r)  # ascending
     w2 = w2[::-1]
     v2 = v2[:, ::-1]
-    cand = C(v2[:k, :].T, v2[k:, :].T)  # (2k, k) candidate rows
+    # Scanning all 2k candidates is safe but wasteful: every complex
+    # eigenvector contributes exactly 2 real candidates (its J-pair), and
+    # greedy CGS over the first t descending-ordered candidates accepts at
+    # least ceil(t/2) vectors (the complex span of t real candidates has
+    # dimension >= t/2). The first 2*keep candidates therefore always yield
+    # >= keep accepted vectors; a small margin absorbs f32 near-dependence
+    # rejections inside degenerate clusters. Halves the sequential-scan
+    # length at keep = k/2 (the bond-truncation case).
+    n_cand = min(2 * keep + 8, 2 * k)
+    w2 = w2[:n_cand]
+    cand = C(v2[:k, :n_cand].T, v2[k:, :n_cand].T)  # (n_cand, k) rows
 
     dt = h.dtype
 

@@ -278,3 +278,29 @@ class TestTruncationObservability:
         result = AdaptCompiler(target, backend=MPSBackend()).compile()
         assert result.mps_truncated_weight is not None
         assert result.mps_truncated_weight < 1e-8
+
+
+def test_eigh_top_degenerate_clusters_full_rank():
+    """The shortened candidate scan (2*keep+margin of the 2k real-embedding
+    vectors) must still extract `keep` orthonormal complex eigenvectors on
+    maximally degenerate spectra — the worst case for J-pair mixing
+    (cplx.eigh_top; CLAUDE.md degenerate-spectrum caveat)."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.ops import cplx
+
+    rng = np.random.default_rng(0)
+    cases = []
+    cases.append(("flat", np.eye(64, dtype=np.complex64), 32))
+    A = rng.normal(size=(64, 64)) + 1j * rng.normal(size=(64, 64))
+    Q, _ = np.linalg.qr(A)
+    w = np.repeat(np.linspace(1, 0.1, 8), 8)
+    cases.append(("clusters", (Q * w) @ Q.conj().T, 32))
+    cases.append(("full", np.eye(16, dtype=np.complex64), 16))
+    for name, H, keep in cases:
+        hc = cplx.C(jnp.asarray(H.real, jnp.float32),
+                    jnp.asarray(H.imag, jnp.float32))
+        _, V = cplx.eigh_top(hc, keep)
+        Vn = np.asarray(V.re) + 1j * np.asarray(V.im)
+        gram = Vn @ Vn.conj().T
+        assert (np.linalg.norm(Vn, axis=1) > 0.5).all(), name
+        assert np.abs(gram - np.eye(keep)).max() < 1e-2, name
