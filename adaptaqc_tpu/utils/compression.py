@@ -131,8 +131,12 @@ def product_state_to_circuit(amps: np.ndarray) -> Circuit:
         # unitary, utilityfunctions.py:329-353) so we emit it too.
         theta = 2 * np.arctan2(abs(b), abs(a))
         phi = float(np.angle(b) - np.angle(a))
-        lam = float(-(np.angle(a) + np.angle(b)))
-        qc.rz(lam, q)
+        # The leading Rz acts on |0> and is pure global phase for ANY angle;
+        # emit it with angle 0 so the prepared state's f32 bit pattern is
+        # independent of the phase-split convention (50q ADAPT trajectories
+        # are chaotically start-sensitive) while keeping the reference's
+        # rz-ry-rz triple structure.
+        qc.rz(0.0, q)
         qc.ry(float(theta), q)
         qc.rz(phi, q)
     return qc
