@@ -15,6 +15,7 @@ are not available in this environment).
 from __future__ import annotations
 
 import logging
+import os
 import random
 from typing import Optional, Tuple
 
@@ -37,11 +38,18 @@ class CostMinimiser:
     """Minimizer that minimizes a cost function (cost_minimiser.py:32)."""
 
     def __init__(self, cost_finder, variational_circuit_range, compiler,
-                 rotosolve_fraction=1.0):
+                 rotosolve_fraction=1.0, zigzag=None):
         self.cost_finder = cost_finder
         self.variational_circuit_range = variational_circuit_range
         self.compiler = compiler
         self.rotosolve_fraction = rotosolve_fraction
+        # alternating-direction sweep cycles (G applies/cycle instead of
+        # 2G). Exact coordinate descent, but a different gate-visit order
+        # than the reference's fixed forward sweeps — opt-in (also via env
+        # ADAPTAQC_ZIGZAG=1) to preserve reference trajectories by default.
+        if zigzag is None:
+            zigzag = bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0")))
+        self.zigzag = zigzag
 
     @property
     def full_circuit(self):
@@ -137,16 +145,29 @@ class CostMinimiser:
         if self.rotosolve_fraction >= 1.0 or rotoselect:
             # fully fused: all cycles + convergence checks in ONE device call
             dt = angles.dtype
-            # the full-state cache, when valid, IS prefix+tape at the input
-            # angles: hand it over so the fused loop skips its initial-cost
-            # re-simulation of the tape (G applies incl. every bond SVD)
-            init_state = comp._current_cache
-            init_state = () if init_state is None else init_state
-            (kinds, angles, cost_dev, cycles, evals,
-             final_state) = sweeps.sweep_until_converged(
-                engine, bl, rotoselect, int(max_cycles), prefix, ref, kinds,
-                q0, q1, angles, jnp.asarray(full_mask),
-                jnp.asarray(stop_val, dt), jnp.asarray(tol, dt), init_state)
+            use_zigzag = (self.zigzag and bl >= tape.padded_length
+                          and engine.env_ops is None)
+            if use_zigzag:
+                # alternating-direction cycles reuse the state buffer the
+                # previous cycle emitted: G applies per cycle instead of 2G
+                (kinds, angles, cost_dev, cycles, evals,
+                 final_state) = sweeps.sweep_zigzag_until_converged(
+                    engine, rotoselect, int(max_cycles), prefix, ref, kinds,
+                    q0, q1, angles, jnp.asarray(full_mask),
+                    jnp.asarray(stop_val, dt), jnp.asarray(tol, dt))
+            else:
+                # the full-state cache, when valid, IS prefix+tape at the
+                # input angles: hand it over so the fused loop skips its
+                # initial-cost re-simulation of the tape (G applies incl.
+                # every bond SVD)
+                init_state = comp._current_cache
+                init_state = () if init_state is None else init_state
+                (kinds, angles, cost_dev, cycles, evals,
+                 final_state) = sweeps.sweep_until_converged(
+                    engine, bl, rotoselect, int(max_cycles), prefix, ref,
+                    kinds, q0, q1, angles, jnp.asarray(full_mask),
+                    jnp.asarray(stop_val, dt), jnp.asarray(tol, dt),
+                    init_state)
             comp.cost_evaluation_counter += int(evals)
             cost = float(cost_dev)
             logger.info(f"{alg_name} ran {int(cycles)} cycles on device")

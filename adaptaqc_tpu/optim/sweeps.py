@@ -364,3 +364,147 @@ def sweep_n_cycles(engine: SweepEngine, block_len: int, rotoselect: bool,
     (k, a, evals), costs = lax.scan(body, (kinds, angles, jnp.int32(0)),
                                     None, length=cycles)
     return k, a, costs[-1], evals
+
+
+# --------------------------------------------------------------- zigzag mode
+#
+# Alternating-direction coordinate descent: the standard sweep pays 2G gate
+# applies per cycle (a backward pass rebuilding every right state + the
+# forward probe pass). In zigzag mode consecutive cycles alternate
+# direction and REUSE the state buffer the previous cycle emitted:
+#
+#   forward cycle  k=0..G-1: probes read R_k from the buffer (written by the
+#       previous backward cycle), the carried L advances through each
+#       updated gate, and the PRE-apply L_{k-1} states are emitted;
+#   backward cycle k=G-1..0: probes read L_{k-1} from the buffer, the
+#       carried R advances through each updated gate's adjoint, and the
+#       pre-apply R_k states are emitted.
+#
+# Each probe still sees every other gate at its most recent value (exact
+# Gauss-Seidel/coordinate descent; the reference's fixed forward order is
+# the default mode, zigzag is opt-in via CostMinimiser/env flag) — but a
+# cycle costs G applies instead of 2G. Memory: one G-state buffer, the same
+# footprint as the single-block right-state buffer of sweep().
+
+
+def _zz_forward(engine, rotoselect, prefix_state, ref_state, xs, r_buf):
+    """One forward probe cycle. xs = (kinds, q0s, q1s, angles, select).
+    Returns (nk, na, ov2_final, l_final, evals, l_buf) where l_buf[k] is the
+    pre-apply state L_{k-1} (what a backward cycle probes gate k with)."""
+    def gate_fwd(c, x):
+        l_state, evals = c
+        (k, a, b, th, sel), r_state = x
+
+        def probed():
+            return _probe_and_update(engine, r_state, l_state, k, a,
+                                     rotoselect)
+
+        def skipped():
+            return k, th, jnp.zeros((), th.dtype), jnp.int32(0)
+
+        nk, na, _ov2, ne = lax.cond(sel, probed, skipped)
+        pre = l_state
+        l_state = engine.apply(l_state, nk, a, b, na)
+        return (l_state, evals + ne), (nk, na, pre)
+
+    (l_final, evals), (nks, nas, l_buf) = lax.scan(
+        gate_fwd, (prefix_state, jnp.int32(0)), (xs, r_buf))
+    ov2 = engine.overlap(ref_state, l_final).abs2()
+    return nks, nas, ov2, l_final, evals, l_buf
+
+
+def _zz_backward(engine, rotoselect, prefix_state, ref_state, xs, l_buf):
+    """One backward probe cycle (gates G-1..0). Returns
+    (nk, na, ov2_final, evals, r_buf) with r_buf[k] = R_k for the next
+    forward cycle."""
+    flip = lambda t: jax.tree.map(lambda v: jnp.flip(v, 0), t)
+
+    def gate_bwd(c, x):
+        r_state, evals = c
+        (k, a, b, th, sel), l_pre = x
+
+        def probed():
+            return _probe_and_update(engine, r_state, l_pre, k, a,
+                                     rotoselect)
+
+        def skipped():
+            return k, th, jnp.zeros((), th.dtype), jnp.int32(0)
+
+        nk, na, _ov2, ne = lax.cond(sel, probed, skipped)
+        pre = r_state
+        r_state = engine.apply_adjoint(r_state, nk, a, b, na)
+        return (r_state, evals + ne), (nk, na, pre)
+
+    (r_final, evals), (nks_r, nas_r, r_buf_r) = lax.scan(
+        gate_bwd, (ref_state, jnp.int32(0)), flip((xs, l_buf)))
+    nks, nas, r_buf = flip((nks_r, nas_r, r_buf_r))
+    # r_final = (U tape)^dagger |ref>; |<r_final|prefix>|^2 == |<ref|U|prefix>|^2
+    ov2 = engine.overlap(r_final, prefix_state).abs2()
+    return nks, nas, ov2, evals, r_buf
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def sweep_zigzag_until_converged(engine: SweepEngine, rotoselect: bool,
+                                 max_cycles: int, prefix_state, ref_state,
+                                 kinds, q0s, q1s, angles, select, stop_val,
+                                 tol):
+    """Zigzag variant of sweep_until_converged (single-block only).
+
+    Runs (forward, backward) cycle pairs to convergence, then one final
+    forward cycle so the returned state is the exact prefix+tape state at
+    the returned angles. The initial backward R-state build also yields the
+    initial cost, so no separate tape re-simulation is needed.
+
+    Returns (kinds, angles, final_cost, cycles, evals, final_state)."""
+    # initial R build at input angles: emits r_buf and the full adjoint
+    # state, whose overlap with the prefix IS the initial cost
+    flip = lambda t: jax.tree.map(lambda v: jnp.flip(v, 0), t)
+    xs0 = (kinds, q0s, q1s, angles, select)
+
+    def back(s, x):
+        k, a, b, th, _sel = x
+        pre = s
+        return engine.apply_adjoint(s, k, a, b, th), pre
+
+    r_final0, r_rev = lax.scan(back, ref_state, flip(xs0))
+    r_buf0 = flip(r_rev)
+    ov2_0 = engine.overlap(r_final0, prefix_state).abs2()
+    cost0 = 1.0 - ov2_0
+
+    big = jnp.asarray(1e30, angles.dtype)
+
+    def cond(carry):
+        k, a, cost, hist, ov2_hist, cycle, evals, buf = carry
+        not_done = (cost > stop_val) & (cycle < max_cycles)
+        cost_stopped = _stopped_improving_dev(hist, tol)
+        ov2_slope = (ov2_hist[2] - ov2_hist[0]) / 2.0
+        ov2_mean = jnp.abs(ov2_hist[0] + ov2_hist[1] + ov2_hist[2]) / 3.0
+        ov2_stopped = ov2_slope / jnp.maximum(ov2_mean, 1e-30) < tol
+        improving = jnp.where(cycle > 3, ~(cost_stopped & ov2_stopped), True)
+        return not_done & improving
+
+    def body(carry):
+        k, a, cost, hist, ov2_hist, cycle, evals, r_buf = carry
+        xs = (k, q0s, q1s, a, select)
+        k, a, ov2_f, _lf, ev_f, l_buf = _zz_forward(
+            engine, rotoselect, prefix_state, ref_state, xs, r_buf)
+        xs = (k, q0s, q1s, a, select)
+        k, a, ov2_b, ev_b, r_buf = _zz_backward(
+            engine, rotoselect, prefix_state, ref_state, xs, l_buf)
+        cost = 1.0 - ov2_b
+        hist = jnp.stack([hist[1], hist[2], cost])
+        ov2_hist = jnp.stack([ov2_hist[1], ov2_hist[2], ov2_b])
+        return (k, a, cost, hist, ov2_hist, cycle + 2, evals + ev_f + ev_b,
+                r_buf)
+
+    init = (kinds, angles, cost0, jnp.stack([big, big, big]),
+            jnp.zeros(3, angles.dtype), jnp.int32(0), jnp.int32(1), r_buf0)
+    (k, a, cost, hist, ov2_hist, cycles, evals, r_buf) = lax.while_loop(
+        cond, body, init)
+
+    # final forward cycle: exact state at the returned angles (and one more
+    # update round, which can only improve the cost)
+    xs = (k, q0s, q1s, a, select)
+    k, a, ov2_f, l_final, ev_f, _ = _zz_forward(
+        engine, rotoselect, prefix_state, ref_state, xs, r_buf)
+    return (k, a, 1.0 - ov2_f, cycles + 1, evals + ev_f, l_final)

@@ -213,3 +213,85 @@ def test_sweep_until_converged_with_init_state_matches():
                        atol=1e-6)
     assert np.allclose(np.asarray(out_auto[5].im), np.asarray(out_cached[5].im),
                        atol=1e-6)
+
+
+class TestZigzag:
+    def _setup(self, n=4, depth=12, seed=7):
+        import jax.numpy as jnp
+        from adaptaqc_tpu.backends import sv_core
+        from adaptaqc_tpu.optim import sweeps
+        rng = np.random.default_rng(seed)
+        qc = random_circuit(n, depth, rng)
+        tape = compile_tape(qc)
+        engine = sv_core.sweep_engine()
+        prefix = sv_core.zero_state(n)
+        ref = sv_core.zero_state(n)
+        xs = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+              jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+              jnp.asarray(tape.trainable))
+        return sweeps, sv_core, engine, prefix, ref, tape, xs
+
+    def test_first_forward_cycle_matches_standard_sweep(self):
+        """A zigzag forward cycle fed with an R-buffer built at the input
+        angles must produce exactly the standard sweep's updates."""
+        import jax
+        import jax.numpy as jnp
+        sweeps, sv_core, engine, prefix, ref, tape, xs = self._setup()
+        kinds, q0, q1, angles, sel = xs
+
+        out_std = sweeps.sweep(engine, tape.padded_length, True, prefix, ref,
+                               kinds, q0, q1, angles, sel)
+
+        flip = lambda t: jax.tree.map(lambda v: jnp.flip(v, 0), t)
+
+        def back(s, x):
+            k, a, b, th, _ = x
+            return engine.apply_adjoint(s, k, a, b, th), s
+
+        _, r_rev = jax.lax.scan(back, ref, flip((kinds, q0, q1, angles, sel)))
+        r_buf = flip(r_rev)
+        nk, na, ov2, l_final, evals, _ = sweeps._zz_forward(
+            engine, True, prefix, ref, (kinds, q0, q1, angles, sel), r_buf)
+
+        assert np.array_equal(np.asarray(nk), np.asarray(out_std[0]))
+        assert np.allclose(np.asarray(na), np.asarray(out_std[1]), atol=1e-7)
+        assert float(ov2) == pytest.approx(float(out_std[5]), abs=1e-6)
+        assert int(evals) == int(out_std[4])
+
+    def test_zigzag_converges_and_returns_exact_state(self):
+        import jax.numpy as jnp
+        sweeps, sv_core, engine, prefix, ref, tape, xs = self._setup()
+        kinds, q0, q1, angles, sel = xs
+        cost0 = 1.0 - float(engine.overlap(
+            ref, sv_core.apply_tape(prefix, kinds, q0, q1, angles)).abs2())
+        nk, na, cost, cycles, evals, state = sweeps.sweep_zigzag_until_converged(
+            engine, True, 30, prefix, ref, kinds, q0, q1, angles, sel,
+            jnp.asarray(1e-5, jnp.float32), jnp.asarray(1e-5, jnp.float32))
+        # coordinate descent never increases the cost (0.5 here is a genuine
+        # rotoselect fixed point of this random circuit — the standard sweep
+        # lands on exactly the same one)
+        assert float(cost) <= cost0 + 1e-9
+        # the returned state is exactly prefix+tape at the returned angles
+        fresh = sv_core.apply_tape(prefix, nk, q0, q1, na)
+        assert np.allclose(np.asarray(state.re), np.asarray(fresh.re),
+                           atol=1e-6)
+        assert np.allclose(np.asarray(state.im), np.asarray(fresh.im),
+                           atol=1e-6)
+        # cost matches the returned state's overlap
+        ov2 = float(engine.overlap(ref, state).abs2())
+        assert float(cost) == pytest.approx(1.0 - ov2, abs=1e-6)
+
+    @pytest.mark.parametrize("backend_kind", ["sv", "mps"])
+    def test_compile_with_zigzag_converges(self, backend_kind, monkeypatch):
+        from adaptaqc_tpu import AdaptCompiler, MPSBackend, SVBackend
+        monkeypatch.setenv("ADAPTAQC_ZIGZAG", "1")
+        rng = np.random.default_rng(21)
+        qc = random_circuit(3, 10, rng)
+        backend = SVBackend() if backend_kind == "sv" else MPSBackend(max_chi=8)
+        compiler = AdaptCompiler(qc, backend=backend)
+        assert compiler.minimizer.zigzag
+        result = compiler.compile()
+        assert result.overlap > 0.99
+        sv_t = simulate(co.make_quantum_only_circuit(qc))
+        sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+        assert abs(np.vdot(sv_t, sv_s)) ** 2 > 0.97
