@@ -508,3 +508,38 @@ def sweep_zigzag_until_converged(engine: SweepEngine, rotoselect: bool,
     k, a, ov2_f, l_final, ev_f, _ = _zz_forward(
         engine, rotoselect, prefix_state, ref_state, xs, r_buf)
     return (k, a, 1.0 - ov2_f, cycles + 1, evals + ev_f, l_final)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def sweep_zigzag_n_cycles(engine: SweepEngine, rotoselect: bool, pairs: int,
+                          prefix_state, ref_state, kinds, q0s, q1s, angles,
+                          select):
+    """Exactly `pairs` (forward, backward) zigzag cycle pairs fused into one
+    device call — the benchmarking variant of sweep_zigzag_until_converged.
+    Total update cycles = 2*pairs; total gate applies = (2*pairs + 1) * G
+    vs the standard sweep's 2 * (2*pairs) * G. Returns
+    (kinds, angles, final_cost, evals)."""
+    flip = lambda t: jax.tree.map(lambda v: jnp.flip(v, 0), t)
+
+    def back(s, x):
+        k, a, b, th, _sel = x
+        pre = s
+        return engine.apply_adjoint(s, k, a, b, th), pre
+
+    _, r_rev = lax.scan(back, ref_state, flip((kinds, q0s, q1s, angles,
+                                               select)))
+    r_buf0 = flip(r_rev)
+
+    def body(carry, _):
+        k, a, evals, r_buf = carry
+        xs = (k, q0s, q1s, a, select)
+        k, a, ov2_f, _lf, ev_f, l_buf = _zz_forward(
+            engine, rotoselect, prefix_state, ref_state, xs, r_buf)
+        xs = (k, q0s, q1s, a, select)
+        k, a, ov2_b, ev_b, r_buf = _zz_backward(
+            engine, rotoselect, prefix_state, ref_state, xs, l_buf)
+        return (k, a, evals + ev_f + ev_b, r_buf), ov2_b
+
+    (k, a, evals, _), ov2s = lax.scan(body, (kinds, angles, jnp.int32(0),
+                                             r_buf0), None, length=pairs)
+    return k, a, 1.0 - ov2s[-1], evals
