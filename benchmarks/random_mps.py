@@ -158,6 +158,9 @@ def main():
             "cost_evaluations": result.cost_evaluations,
             "wall_seconds": round(wall, 1),
             "evals_per_sec": round(result.cost_evaluations / wall, 1),
+            "phase_timings": {k: round(v, 1) for k, v in
+                              getattr(result, "phase_timings", {}).items()},
+            "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
         }
         print(f"seed {seed}: overlap={result.overlap:.4f} "
               f"(chi64 check {overlap64:.4f}) layers={layers} "
