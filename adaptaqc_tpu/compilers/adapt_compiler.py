@@ -69,7 +69,7 @@ class AdaptCompiler(ApproximateCompiler):
                  perform_final_minimisation=False, optimise_local_cost=False,
                  soften_global_cost=False, debug_log_full_ansatz=False,
                  initial_single_qubit_layer=False, profile_dir=None,
-                 **_compat):
+                 zigzag=None, **_compat):
         backend = backend if backend is not None else SVBackend()
         super().__init__(target=target, initial_state=None, backend=backend,
                          execute_kwargs=execute_kwargs,
@@ -77,7 +77,8 @@ class AdaptCompiler(ApproximateCompiler):
                          starting_circuit=starting_circuit,
                          optimise_local_cost=optimise_local_cost,
                          soften_global_cost=soften_global_cost,
-                         rotosolve_fraction=rotosolve_fraction)
+                         rotosolve_fraction=rotosolve_fraction,
+                         zigzag=zigzag)
 
         self.save_circuit_history = save_circuit_history
         self.entanglement_measure_method = entanglement_measure

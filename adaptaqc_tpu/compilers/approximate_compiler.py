@@ -60,7 +60,7 @@ class ApproximateCompiler(ABC):
                  initial_state=None, qubit_subset=None,
                  general_initial_state=False, starting_circuit=None,
                  optimise_local_cost=False, soften_global_cost=False,
-                 rotosolve_fraction=1.0, **_compat_kwargs):
+                 rotosolve_fraction=1.0, zigzag=None, **_compat_kwargs):
         self.target = target
         self.original_circuit_classical_ops = None
         self.backend = backend if backend is not None else QASM_SIM
@@ -91,7 +91,8 @@ class ApproximateCompiler(ABC):
         if 0 < rotosolve_fraction <= 1:
             self.minimizer = CostMinimiser(self.evaluate_cost,
                                            self.variational_circuit_range,
-                                           self, rotosolve_fraction)
+                                           self, rotosolve_fraction,
+                                           zigzag=zigzag)
         else:
             raise ValueError("rotosolve_fraction must be in the range (0,1]")
 
