@@ -15,7 +15,6 @@ device call and adaptive growth never recompiles (tape length buckets).
 
 from __future__ import annotations
 
-import functools
 import logging
 from abc import ABC, abstractmethod
 from typing import Optional, Tuple

@@ -16,8 +16,7 @@ Reference semantics being mirrored (file:line in /root/reference):
 
 from __future__ import annotations
 
-import math
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ little-endian convention r = 2*b(q1) + b(q0), i.e. kron(U_q1, U_q0).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ cancel adjacent identical CX/CZ pairs, iterate to fixpoint.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -69,7 +69,6 @@ def run_circuit_without_transpilation(circuit: Circuit, backend=None,
     backends return the state (or derived counts); sampling backends return
     sampled counts."""
     from ..backends.backend import SamplingBackend, SVBackend, QASM_SIM
-    from ..backends import sv_core
     from ..ops import cplx
     if backend is None:
         backend = QASM_SIM

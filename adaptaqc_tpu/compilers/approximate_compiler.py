@@ -18,7 +18,6 @@ from __future__ import annotations
 import logging
 import timeit
 from abc import ABC, abstractmethod
-from typing import Optional
 
 import numpy as np
 
