@@ -69,7 +69,7 @@ class AdaptCompiler(ApproximateCompiler):
                  perform_final_minimisation=False, optimise_local_cost=False,
                  soften_global_cost=False, debug_log_full_ansatz=False,
                  initial_single_qubit_layer=False, profile_dir=None,
-                 zigzag=None, **_compat):
+                 zigzag=None, start_variant=0, **_compat):
         backend = backend if backend is not None else SVBackend()
         super().__init__(target=target, initial_state=None, backend=backend,
                          execute_kwargs=execute_kwargs,
@@ -78,7 +78,7 @@ class AdaptCompiler(ApproximateCompiler):
                          optimise_local_cost=optimise_local_cost,
                          soften_global_cost=soften_global_cost,
                          rotosolve_fraction=rotosolve_fraction,
-                         zigzag=zigzag)
+                         zigzag=zigzag, start_variant=start_variant)
 
         self.save_circuit_history = save_circuit_history
         self.entanglement_measure_method = entanglement_measure

@@ -59,8 +59,14 @@ class ApproximateCompiler(ABC):
                  initial_state=None, qubit_subset=None,
                  general_initial_state=False, starting_circuit=None,
                  optimise_local_cost=False, soften_global_cost=False,
-                 rotosolve_fraction=1.0, zigzag=None, **_compat_kwargs):
+                 rotosolve_fraction=1.0, zigzag=None, start_variant=0,
+                 **_compat_kwargs):
         self.target = target
+        # start_variant re-rolls the chaotic ADAPT trajectory without changing
+        # the prepared state: variant k > 0 draws the (physically inert,
+        # global-phase-only) leading Rz angles of the product-state starting
+        # triple from rng(k). Used for multi-start retries on hard targets.
+        self.start_variant = int(start_variant)
         self.original_circuit_classical_ops = None
         self.backend = backend if backend is not None else QASM_SIM
         self.is_statevector_backend = is_statevector_backend(self.backend)

@@ -117,26 +117,32 @@ def best_product_state(target: mps_core.MPS, sweeps: int = 50,
     return best_amps
 
 
-def product_state_to_circuit(amps: np.ndarray) -> Circuit:
+def product_state_to_circuit(amps: np.ndarray, variant: int = 0) -> Circuit:
     """Per-qubit Rz(phi)Ry(theta)|0> preparation (the reference transpiles
-    the TenPy chi=1 tensors to rx/ry/rz, utilityfunctions.py:329-353)."""
+    the TenPy chi=1 tensors to rx/ry/rz, utilityfunctions.py:329-353).
+
+    `variant` selects the angle of the leading Rz of each triple. It acts on
+    |0> so it is pure per-qubit global phase for ANY angle — the prepared
+    state is physically identical across variants — but the 50q ADAPT
+    trajectory is chaotically sensitive to the starting circuit's f32 bit
+    patterns, so distinct variants explore independent trajectories of the
+    same compilation problem. Variant 0 (default) pins the angle to 0 so the
+    state is reproducible across phase-split conventions; variant k > 0
+    draws the angles from rng(k) (the multi-start retry knob)."""
     n = amps.shape[0]
     qc = Circuit(n)
+    lead = np.zeros(n)
+    if variant:
+        lead = np.random.default_rng(int(variant)).uniform(-np.pi, np.pi, n)
     for q in range(n):
         a, b = amps[q]
         # ZYZ decomposition of the unitary whose first column is (a, b):
-        # state = Rz(phi) Ry(theta) Rz(lam) |0>. The leading Rz only
-        # contributes a global phase from |0>, but the reference's solutions
+        # state = Rz(phi) Ry(theta) Rz(lam) |0>; the reference's solutions
         # carry the full rz-ry-rz triple per qubit (the transpiled chi=1
         # unitary, utilityfunctions.py:329-353) so we emit it too.
         theta = 2 * np.arctan2(abs(b), abs(a))
         phi = float(np.angle(b) - np.angle(a))
-        # The leading Rz acts on |0> and is pure global phase for ANY angle;
-        # emit it with angle 0 so the prepared state's f32 bit pattern is
-        # independent of the phase-split convention (50q ADAPT trajectories
-        # are chaotically start-sensitive) while keeping the reference's
-        # rz-ry-rz triple structure.
-        qc.rz(0.0, q)
+        qc.rz(float(lead[q]), q)
         qc.ry(float(theta), q)
         qc.rz(phi, q)
     return qc
@@ -158,4 +164,5 @@ def best_product_state_circuit(compiler) -> Circuit:
         tmp = MPSBackend()
         target = tmp.mps_from_compiler_target(compiler.circuit_to_compile)
     amps = best_product_state(target)
-    return product_state_to_circuit(amps)
+    return product_state_to_circuit(amps,
+                                    getattr(compiler, "start_variant", 0))

@@ -97,6 +97,9 @@ def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=None,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
         custom_layer_2q_gate=identity_resolvable(),
         starting_circuit="tenpy_product_state",
+        # trajectories are chaotically start-sensitive; variant k > 0 retries
+        # the same problem from a state-identical (global-phase-only) start
+        start_variant=int(os.environ.get("RMPS_START_VARIANT", 0)),
     )
     t0 = time.time()
     result = compiler.compile()
@@ -161,6 +164,7 @@ def main():
             "phase_timings": {k: round(v, 1) for k, v in
                               getattr(result, "phase_timings", {}).items()},
             "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
+            "start_variant": int(os.environ.get("RMPS_START_VARIANT", 0)),
         }
         print(f"seed {seed}: overlap={result.overlap:.4f} "
               f"(chi64 check {overlap64:.4f}) layers={layers} "

@@ -229,6 +229,24 @@ def test_chi1_compression_finds_good_product_state():
     assert overlap > 0.85  # weakly entangled: product approx is good
 
 
+def test_start_variant_is_global_phase_only():
+    """start_variant k>0 re-rolls the leading Rz angles of the starting
+    triples; the prepared state must be identical up to global phase while
+    the circuit's f32 bit pattern differs (the multi-start retry knob)."""
+    from adaptaqc_tpu.utils.compression import product_state_to_circuit
+    rng = np.random.default_rng(11)
+    amps = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
+    amps /= np.linalg.norm(amps, axis=1, keepdims=True)
+    qc0 = product_state_to_circuit(amps)
+    qc3 = product_state_to_circuit(amps, variant=3)
+    lead0 = [i.params[0] for i in qc0.data if i.name == "rz"][::2]
+    lead3 = [i.params[0] for i in qc3.data if i.name == "rz"][::2]
+    assert all(a == 0.0 for a in lead0)
+    assert any(abs(a) > 1e-3 for a in lead3)
+    sv0, sv3 = simulate(qc0), simulate(qc3)
+    assert abs(np.vdot(sv0, sv3)) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_chi1_compression_exact_on_product_state():
     from adaptaqc_tpu.backends import mps_core
     from adaptaqc_tpu.utils.compression import best_product_state
