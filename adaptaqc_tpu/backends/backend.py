@@ -273,7 +273,15 @@ class MPSBackend(AQCBackend):
     # ----------------------------------------------------------- cost layer
     def evaluate_global_cost(self, compiler):
         state = self.state_of(compiler)
-        global_cost = float(1.0 - mps_core.overlap_with_zero(state).abs2())
+        # Normalise by <psi|psi>: long f32 apply chains with a chi buffer
+        # well above the state's true rank accumulate a pure SCALE drift
+        # (the Gram-eigh noise floor corrupts snorm while leaving the state
+        # direction intact to ~1e-6 — measured norm^2 up to 1.18 at chi=128,
+        # n=50). Aer needs no such guard (f64, exact-rank bonds); cost
+        # semantics follow aer_mps_backend.py:49-57 on the normalised state.
+        nrm2 = float(mps_core.mps_dot(state, state).re)
+        global_cost = float(
+            1.0 - mps_core.overlap_with_zero(state).abs2() / max(nrm2, 1e-30))
         if not compiler.soften_global_cost:
             return global_cost
         previous_cost = (compiler.global_cost_history[-1]

@@ -66,10 +66,16 @@ def main():
     raw_depth = evolution.multi_qubit_gate_depth()
     raw_2q, _ = co.find_num_gates(evolution)
 
+    # the paper's fig5 solutions run to CZ counts 464-1226 = ~230-610
+    # identity-resolvable layers (paper/fig5/cz_depth_count.csv); default
+    # budget sized accordingly, env-overridable like random_mps.py
+    max_layers = int(os.environ.get("SPIN_LAYERS", 800))
+    max_chi = int(os.environ.get("SPIN_CHI", 32))
     config = AdaptConfig(method="general_gradient",
-                         cost_improvement_num_layers=1000, max_layers=300)
+                         cost_improvement_num_layers=1000,
+                         max_layers=max_layers)
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
-                                    max_chi=32)
+                                    max_chi=max_chi)
     compiler = AdaptCompiler(
         target, backend=backend, adapt_config=config,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
