@@ -87,6 +87,15 @@ def main():
 
     sol_2q, _ = co.find_num_gates(result.circuit)
     sol_depth = result.circuit.multi_qubit_gate_depth()
+    import gzip
+    from random_mps import _git_rev
+    from adaptaqc_tpu.circuits import qasm as _qasm
+    circ_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "circuits")
+    os.makedirs(circ_dir, exist_ok=True)
+    circ_name = f"spin_n{n}_s{steps}_{int(time.time())}.qasm.gz"
+    with gzip.open(os.path.join(circ_dir, circ_name), "wt") as f:
+        f.write(_qasm.dumps(result.circuit))
     record = {
         "workload": f"xxz_trotter_n{n}_steps{steps}_dt{dt}",
         "overlap": round(result.overlap, 4),
@@ -98,6 +107,10 @@ def main():
         "depth_reduction": round(raw_depth / max(sol_depth, 1), 2),
         "wall_seconds": round(wall, 1),
         "cost_evaluations": result.cost_evaluations,
+        "max_layers": max_layers,
+        "working_chi": max_chi,
+        "circuit": f"circuits/{circ_name}",
+        "build": _git_rev(),
     }
     print(json.dumps(record), flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -28,25 +28,41 @@ def main():
     q0, q1 = jnp.asarray(tape.q0), jnp.asarray(tape.q1)
     sel = jnp.asarray(tape.trainable)
 
-    def run_std():
-        out = sweeps.sweep_n_cycles(engine, bl, True, 2 * pairs, prefix, ref,
-                                    kinds, q0, q1, angles, sel)
+    # The axon relay memoises byte-identical executions and charges a fixed
+    # per-call sync (~33-70 ms), so: vary the angles on every call and
+    # measure the SLOPE between a small and a large cycle count
+    # (docs/tpu_design_notes.md "Measurement methodology").
+    import numpy as np
+    rng = np.random.default_rng(0)
+
+    def jitter():
+        return angles + jnp.asarray(
+            rng.uniform(-1e-4, 1e-4, angles.shape), angles.dtype)
+
+    def run_std(cycles):
+        out = sweeps.sweep_n_cycles(engine, bl, True, cycles, prefix, ref,
+                                    kinds, q0, q1, jitter(), sel)
         jax.block_until_ready(out[2])
         return out
 
-    def run_zz():
-        out = sweeps.sweep_zigzag_n_cycles(engine, True, pairs, prefix, ref,
-                                           kinds, q0, q1, angles, sel)
+    def run_zz(cycle_pairs):
+        out = sweeps.sweep_zigzag_n_cycles(engine, True, cycle_pairs, prefix,
+                                           ref, kinds, q0, q1, jitter(), sel)
         jax.block_until_ready(out[2])
         return out
 
     results = {}
-    for name, fn in [("standard", run_std), ("zigzag", run_zz)]:
-        fn()  # compile
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
-        per_cycle = dt / (2 * pairs) * 1e3
+    reps = 3
+    for name, fn, sizes in [("standard", run_std, (2, 2 * pairs + 2)),
+                            ("zigzag", run_zz, (1, pairs + 1))]:
+        times = []
+        for size in sizes:
+            fn(size)  # compile this cycle-count bucket
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(size)
+            times.append((time.time() - t0) / reps)
+        per_cycle = (times[1] - times[0]) / (2 * pairs) * 1e3
         results[name] = round(per_cycle, 2)
         print(f"{name}: {per_cycle:.2f} ms/update-cycle "
               f"(cost {float(out[2]):.6f}, evals {int(out[3])})",
