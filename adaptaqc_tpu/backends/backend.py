@@ -273,22 +273,20 @@ class MPSBackend(AQCBackend):
     # ----------------------------------------------------------- cost layer
     def evaluate_global_cost(self, compiler):
         state = self.state_of(compiler)
-        # Normalise by <psi|psi>: long f32 apply chains with a chi buffer
+        # Normalised by <psi|psi>: long f32 apply chains with a chi buffer
         # well above the state's true rank accumulate a pure SCALE drift
         # (the Gram-eigh noise floor corrupts snorm while leaving the state
         # direction intact to ~1e-6 — measured norm^2 up to 1.18 at chi=128,
         # n=50). Aer needs no such guard (f64, exact-rank bonds); cost
         # semantics follow aer_mps_backend.py:49-57 on the normalised state.
-        nrm2 = float(mps_core.mps_dot(state, state).re)
-        global_cost = float(
-            1.0 - mps_core.overlap_with_zero(state).abs2() / max(nrm2, 1e-30))
+        # One fused device program: per-call relay sync is ~33-70 ms.
         if not compiler.soften_global_cost:
-            return global_cost
+            return float(mps_core.global_cost_normalized(state))
         previous_cost = (compiler.global_cost_history[-1]
                          if len(compiler.global_cost_history) > 0 else 1)
         alpha = abs(previous_cost - compiler.adapt_config.sufficient_cost)
-        h1 = np.asarray(mps_core.hamming1_overlaps(state))
-        return global_cost - alpha * float(h1.sum())
+        cost, h1_sum = mps_core.softened_cost_terms(state)
+        return float(cost) - alpha * float(h1_sum)
 
     def evaluate_local_cost(self, compiler):
         evals = self.measure_qubit_expectation_values(compiler)

@@ -275,6 +275,26 @@ def overlap_with_zero(state: MPS) -> C:
     return v[0]
 
 
+@jax.jit
+def global_cost_normalized(state: MPS):
+    """1 - |<0...0|state>|^2 / <state|state> as ONE device program (one
+    relay sync instead of two; and chi >> true-rank f32 chains drift in
+    scale, so the raw |z0|^2 alone is not trustworthy)."""
+    nrm2 = mps_dot(state, state).re
+    return 1.0 - overlap_with_zero(state).abs2() / jnp.maximum(nrm2, 1e-30)
+
+
+@jax.jit
+def softened_cost_terms(state: MPS):
+    """(normalised global cost, normalised sum of Hamming-1 overlaps) in one
+    device program — the softening penalty must share the |psi|^2
+    normalisation or the softened cost is not scale-invariant."""
+    nrm2 = jnp.maximum(mps_dot(state, state).re, 1e-30)
+    cost = 1.0 - overlap_with_zero(state).abs2() / nrm2
+    h1 = jnp.sum(hamming1_overlaps(state)) / nrm2
+    return cost, h1
+
+
 def amplitude(state: MPS, bits) -> C:
     """<bits|state> for a (n,) int array of bit values (little-endian site i
     = qubit i) — mps_operations.extract_amplitude analogue."""

@@ -691,13 +691,16 @@ class AdaptCompiler(ApproximateCompiler):
                 state, jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
                 jnp.asarray(tape.q1), jnp.asarray(tape.angles),
                 self.backend.truncation_threshold)
-        # normalise: at verify_chi >> the state's true rank, f32 apply
-        # chains drift in SCALE (direction intact) — without this the
-        # chi-doubled verification can read overlap > 1 or reject a
-        # converged state (seed-56 chi=64 run read 0.39 vs true 0.99)
+        # normalise by BOTH norms: at verify_chi >> the state's true rank,
+        # f32 apply chains drift in SCALE (direction intact) — without this
+        # the chi-doubled verification can read overlap > 1 or reject a
+        # converged state (seed-56 chi=64 run read 0.39 vs true 0.99). The
+        # embedded target is normalised on import but f32 conversion can
+        # leave <t|t> a few ulp off 1.
         nrm2 = float(mps_core.mps_dot(state, state).re)
-        return float(
-            1.0 - mps_core.mps_dot(state, target).abs2() / max(nrm2, 1e-30))
+        tnrm2 = float(mps_core.mps_dot(target, target).re)
+        denom = max(nrm2 * tnrm2, 1e-30)
+        return float(1.0 - mps_core.mps_dot(state, target).abs2() / denom)
 
     def _stash_advance_hint(self, insert_at):
         """Hand the optimiser the engine state of full_circuit.data[:insert_at]

@@ -25,18 +25,8 @@ logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
 REFERENCE_TARGETS = "/root/reference/paper/random_mps"
 
 
-def _git_rev():
-    """Engine build identifier for benchmark records (trajectories are
-    chaotically sensitive to f32-level engine changes, so records must say
-    which build produced them)."""
-    import subprocess
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            capture_output=True, text=True, timeout=10).stdout.strip() or None
-    except Exception:
-        return None
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import git_rev as _git_rev, save_circuit as _save_circuit
 
 
 def load_target(seed: int):
@@ -140,7 +130,9 @@ def independent_overlap(qmps, circuit, chi=64):
     # normalised: chi >> true-rank f32 chains drift in scale (see
     # adapt_compiler._true_cost_of_gate_circuit)
     nrm2 = float(mps_core.mps_dot(state, state).re)
-    return float(mps_core.mps_dot(target, state).abs2() / max(nrm2, 1e-30))
+    tnrm2 = float(mps_core.mps_dot(target, target).re)
+    return float(mps_core.mps_dot(target, state).abs2()
+                 / max(nrm2 * tnrm2, 1e-30))
 
 
 def main():
@@ -168,15 +160,7 @@ def main():
         overlap64 = independent_overlap(qmps, result.circuit)
         # persist the compiled circuit so any record (especially surprising
         # overlap readings) can be re-simulated later without re-compiling
-        import gzip
-        import time as _time
-        from adaptaqc_tpu.circuits import qasm as _qasm
-        circ_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "circuits")
-        os.makedirs(circ_dir, exist_ok=True)
-        circ_name = f"seed_{seed}_{int(_time.time())}.qasm.gz"
-        with gzip.open(os.path.join(circ_dir, circ_name), "wt") as f:
-            f.write(_qasm.dumps(result.circuit))
+        circ_path = _save_circuit(result, f"seed_{seed}")
         record = {
             "seed": seed,
             "source": source,
@@ -194,7 +178,7 @@ def main():
                               getattr(result, "phase_timings", {}).items()},
             "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
             "start_variant": int(os.environ.get("RMPS_START_VARIANT", 0)),
-            "circuit": f"circuits/{circ_name}",
+            "circuit": circ_path,
             "build": _git_rev(),
         }
         print(f"seed {seed}: overlap={result.overlap:.4f} "

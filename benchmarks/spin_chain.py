@@ -20,6 +20,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import git_rev as _git_rev, save_circuit as _save_circuit
+
 logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
 
@@ -71,7 +74,12 @@ def main():
     # budget sized accordingly, env-overridable like random_mps.py
     max_layers = int(os.environ.get("SPIN_LAYERS", 800))
     max_chi = int(os.environ.get("SPIN_CHI", 32))
-    config = AdaptConfig(method="general_gradient",
+    # brickwall default: the Trotter target IS a brickwall, and layer-by-
+    # layer brickwall sweeps rebuild it with the dressed ansatz at matching
+    # depth; general_gradient on this workload was measured to scatter
+    # gates (solution depth 250 vs raw 6 at overlap 0.84/800-layer cap)
+    method = os.environ.get("SPIN_METHOD", "brickwall")
+    config = AdaptConfig(method=method,
                          cost_improvement_num_layers=1000,
                          max_layers=max_layers)
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
@@ -87,15 +95,7 @@ def main():
 
     sol_2q, _ = co.find_num_gates(result.circuit)
     sol_depth = result.circuit.multi_qubit_gate_depth()
-    import gzip
-    from random_mps import _git_rev
-    from adaptaqc_tpu.circuits import qasm as _qasm
-    circ_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "circuits")
-    os.makedirs(circ_dir, exist_ok=True)
-    circ_name = f"spin_n{n}_s{steps}_{int(time.time())}.qasm.gz"
-    with gzip.open(os.path.join(circ_dir, circ_name), "wt") as f:
-        f.write(_qasm.dumps(result.circuit))
+    circ_path = _save_circuit(result, f"spin_n{n}_s{steps}")
     record = {
         "workload": f"xxz_trotter_n{n}_steps{steps}_dt{dt}",
         "overlap": round(result.overlap, 4),
@@ -109,7 +109,8 @@ def main():
         "cost_evaluations": result.cost_evaluations,
         "max_layers": max_layers,
         "working_chi": max_chi,
-        "circuit": f"circuits/{circ_name}",
+        "method": method,
+        "circuit": circ_path,
         "build": _git_rev(),
     }
     print(json.dumps(record), flush=True)

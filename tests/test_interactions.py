@@ -120,9 +120,13 @@ class TestMpsTargetPrecompute:
 
 class TestSofteningGates:
     def test_hamming1_only_computed_when_softened(self):
+        # the Hamming-1 terms live inside the fused jitted program
+        # softened_cost_terms, so the observable gate is WHICH device
+        # program the backend dispatches (ref: hamming-weight-1 overlaps
+        # gated on the soften flag, test_adapt_compiler.py:951-975)
         qc = _bell_plus_spectator()
-        with patch.object(mps_core, "hamming1_overlaps",
-                          wraps=mps_core.hamming1_overlaps) as mock:
+        with patch.object(mps_core, "softened_cost_terms",
+                          wraps=mps_core.softened_cost_terms) as mock:
             plain = AdaptCompiler(qc, backend=MPSBackend())
             plain.global_cost_history = []
             plain.backend.evaluate_global_cost(plain)

@@ -191,6 +191,15 @@ def test_global_cost_is_scale_invariant():
     assert compiler.backend.evaluate_global_cost(compiler) == pytest.approx(
         base, abs=1e-6)
 
+    # the softened cost must share the normalisation (penalty term included)
+    compiler.soften_global_cost = True
+    soft_scaled = compiler.backend.evaluate_global_cost(compiler)
+    compiler._current_cache = state
+    soft_base = compiler.backend.evaluate_global_cost(compiler)
+    compiler.soften_global_cost = False
+    assert soft_scaled == pytest.approx(soft_base, abs=1e-6)
+    compiler._current_cache = scaled
+
     # the chi-doubled verification path is scale-invariant by construction
     cost = compiler._true_cost_of_gate_circuit(compiler.full_circuit)
     assert 0.0 <= cost <= 1.0 + 1e-6
