@@ -68,6 +68,7 @@ class ApproximateCompiler(ABC):
         # triple from rng(k). Used for multi-start retries on hard targets.
         self.start_variant = int(start_variant)
         self.original_circuit_classical_ops = None
+        self.gate_circuit_to_compile = None  # set by prepare_circuit
         self.backend = backend if backend is not None else QASM_SIM
         self.is_statevector_backend = is_statevector_backend(self.backend)
         self.is_aer_mps_backend = isinstance(self.backend, MPSBackend)
@@ -121,6 +122,10 @@ class ApproximateCompiler(ABC):
         self.original_circuit_classical_ops = co.remove_classical_operations(
             target_copy)
         prepared = unroll_to_basis_gates(target_copy)
+        # keep the gate-level target: for MPS backends circuit_to_compile
+        # becomes the set_mps wrapper, which cannot be depth-divided
+        # (compile_in_parts) or re-simulated gate-by-gate
+        self.gate_circuit_to_compile = prepared
         if self.is_mps_backend:
             logger.info("Pre-computing target circuit as MPS on device")
             target_mps = self.backend.mps_from_compiler_target(prepared)
@@ -274,8 +279,15 @@ class ApproximateCompiler(ABC):
         """Ladder compilation (approximate_compiler.py:321-383)."""
         logger.info("Started partial recompilation")
         start_time = timeit.default_timer()
+        # divide the gate-level target: for MPS backends circuit_to_compile
+        # is the set_mps wrapper, which has no depth structure to divide
+        gate_target = self.gate_circuit_to_compile
+        if gate_target is None:
+            raise ValueError(
+                "compile_in_parts needs a gate-level target circuit; an MPS "
+                "target has no depth structure to divide into blocks")
         all_subcircuits = vertically_divide_circuit(
-            self.circuit_to_compile.copy(), max_depth_per_block)
+            gate_target.copy(), max_depth_per_block)
         logger.info(f"Circuit was split into {len(all_subcircuits)} parts to "
                     "compile sequentially")
 
@@ -298,15 +310,25 @@ class ApproximateCompiler(ABC):
         return CompileInPartsResult(
             circuit=last_compiled,
             overlap=calculate_overlap_between_circuits(
-                last_compiled, self.circuit_to_compile,
+                last_compiled, gate_target,
                 self.initial_state_circuit, self.qubit_subset_to_compile),
             individual_results=individual_results,
             time_taken=end_time - start_time)
 
 
+# Above this, a dense 2^n statevector no longer fits and overlaps switch to
+# the MPS engine (the reference's dense-only helper, full_circuit.py:413-438,
+# simply cannot evaluate its compile_in_parts result at 50 qubits).
+DENSE_OVERLAP_MAX_QUBITS = 26
+
+
 def calculate_overlap_between_circuits(circuit1: Circuit, circuit2: Circuit,
-                                       initial_state=None, qubit_subset=None):
-    """|<psi1|psi2>|^2 via exact dense simulation (full_circuit.py:413-438)."""
+                                       initial_state=None, qubit_subset=None,
+                                       mps_chi: int = 64):
+    """|<psi1|psi2>|^2 (full_circuit.py:413-438) — dense statevector
+    simulation up to DENSE_OVERLAP_MAX_QUBITS, MPS contraction at bond cap
+    `mps_chi` beyond (norm-normalised: chi >> true-rank f32 chains drift in
+    scale, see docs/tpu_design_notes.md)."""
     initial_state_circuit = co.initial_state_to_circuit(initial_state)
     if initial_state_circuit is None:
         total = circuit1.num_qubits
@@ -316,12 +338,15 @@ def calculate_overlap_between_circuits(circuit1: Circuit, circuit2: Circuit,
 
     from ..backends import sv_core
 
-    def run(circ):
+    def build(circ):
         qc = Circuit(total)
         if initial_state_circuit is not None:
             co.add_to_circuit(qc, initial_state_circuit)
         co.add_to_circuit(qc, co.make_quantum_only_circuit(circ),
                           qubit_subset=subset)
+        return qc
+
+    def run_dense(qc):
         if qc.data and qc.data[0].name == "set_statevector":
             state = sv_core.state_from_vector(qc.data[0].payload)
             start = 1
@@ -333,6 +358,25 @@ def calculate_overlap_between_circuits(circuit1: Circuit, circuit2: Circuit,
                                            (tape.kinds, tape.q0, tape.q1,
                                             tape.angles)))
 
-    s1 = cplx.to_np(run(circuit1))
-    s2 = cplx.to_np(run(circuit2))
-    return float(np.absolute(np.vdot(s1, s2)) ** 2)
+    def run_mps(qc):
+        import jax.numpy as jnp
+        if qc.data and qc.data[0].name == "set_mps":
+            state = mps_core.from_qiskit_mps(qc.data[0].payload, mps_chi)
+            start = 1
+        else:
+            state = mps_core.zero_mps(total, mps_chi)
+            start = 0
+        tape = compile_tape(qc, (start, len(qc.data)))
+        return mps_core.apply_tape(
+            state, *(jnp.asarray(x) for x in
+                     (tape.kinds, tape.q0, tape.q1, tape.angles)), 1e-16)
+
+    if total <= DENSE_OVERLAP_MAX_QUBITS:
+        s1 = cplx.to_np(run_dense(build(circuit1)))
+        s2 = cplx.to_np(run_dense(build(circuit2)))
+        return float(np.absolute(np.vdot(s1, s2)) ** 2)
+    m1 = run_mps(build(circuit1))
+    m2 = run_mps(build(circuit2))
+    n1 = float(mps_core.mps_dot(m1, m1).re)
+    n2 = float(mps_core.mps_dot(m2, m2).re)
+    return float(mps_core.mps_dot(m1, m2).abs2() / max(n1 * n2, 1e-30))

@@ -79,8 +79,16 @@ def main():
     # depth; general_gradient on this workload was measured to scatter
     # gates (solution depth 250 vs raw 6 at overlap 0.84/800-layer cap)
     method = os.environ.get("SPIN_METHOD", "brickwall")
+    # ladder mode (reference compile_in_parts, approximate_compiler.py:321-383):
+    # direct compilation of t >= 1 targets stalls (overlap 0.0022 at 800
+    # layers for steps=5), so compile one Trotter step per part, carrying the
+    # previous shallow solution forward — SPIN_PARTS=1 enables, SPIN_LAYERS
+    # then budgets each part
+    parts_mode = bool(int(os.environ.get("SPIN_PARTS", "0")))
+    sufficient = float(os.environ.get("SPIN_SUFF", 1e-2))
     config = AdaptConfig(method=method,
                          cost_improvement_num_layers=1000,
+                         sufficient_cost=sufficient,
                          max_layers=max_layers)
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
                                     max_chi=max_chi)
@@ -90,7 +98,20 @@ def main():
         custom_layer_2q_gate=identity_resolvable(),
         starting_circuit=prep)
     t0 = time.time()
-    result = compiler.compile()
+    if parts_mode:
+        # block depth = one Trotter step (prep X-gates fold into the first
+        # block; division is by all-gate depth)
+        step_depth = trotter_circuit(n, 1, dt).depth()
+        result = compiler.compile_in_parts(max_depth_per_block=step_depth)
+        result.qubit_pair_history = [
+            p for r in result.individual_results for p in r.qubit_pair_history]
+        result.cost_evaluations = sum(
+            r.cost_evaluations for r in result.individual_results)
+        result.part_overlaps = [round(r.overlap, 4)
+                                for r in result.individual_results]
+        result.circuit_qasm = None
+    else:
+        result = compiler.compile()
     wall = time.time() - t0
 
     sol_2q, _ = co.find_num_gates(result.circuit)
@@ -110,6 +131,7 @@ def main():
         "max_layers": max_layers,
         "working_chi": max_chi,
         "method": method,
+        "parts": getattr(result, "part_overlaps", None),
         "circuit": circ_path,
         "build": _git_rev(),
     }

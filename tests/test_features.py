@@ -65,6 +65,58 @@ def test_compile_in_parts():
     assert len(result.individual_results) >= 2
 
 
+def test_compile_in_parts_mps_backend_with_starting_circuit():
+    """Regression: with an MPS backend, circuit_to_compile is the set_mps
+    wrapper — the ladder must divide the GATE-LEVEL target (a set_mps
+    instruction leaking into a part's variational range used to crash tape
+    compilation), and a starting circuit must ride along."""
+    rng = np.random.default_rng(29)
+    n = 4
+    qc = Circuit(n)
+    prep = Circuit(n)
+    for q in range(1, n, 2):
+        prep.x(q)
+        qc.x(q)
+    for _ in range(3):
+        for q in range(n):
+            qc.ry(float(rng.uniform(-1.0, 1.0)), q)
+        for q in range(n - 1):
+            qc.cx(q, q + 1)
+    compiler = AdaptCompiler(qc, backend=MPSBackend(),
+                             starting_circuit=prep)
+    result = compiler.compile_in_parts(max_depth_per_block=4)
+    assert len(result.individual_results) >= 2
+    assert result.overlap > 1 - 5e-2
+
+
+def test_compile_in_parts_rejects_mps_target():
+    """An MPS target has no depth structure to divide."""
+    from adaptaqc_tpu.backends import mps_core
+    qmps = mps_core.to_qiskit_mps(mps_core.zero_mps(3, 2))
+    compiler = AdaptCompiler(qmps, backend=MPSBackend())
+    with pytest.raises(ValueError, match="gate-level"):
+        compiler.compile_in_parts(max_depth_per_block=4)
+
+
+def test_overlap_between_circuits_mps_path_matches_dense():
+    """Above DENSE_OVERLAP_MAX_QUBITS the overlap helper switches to the MPS
+    engine; both paths must agree."""
+    from adaptaqc_tpu.compilers import approximate_compiler as ac
+    rng = np.random.default_rng(31)
+    c1 = random_circuit(4, 10, rng)
+    c2 = random_circuit(4, 10, rng)
+    dense = ac.calculate_overlap_between_circuits(c1, c2)
+    orig = ac.DENSE_OVERLAP_MAX_QUBITS
+    try:
+        ac.DENSE_OVERLAP_MAX_QUBITS = 2
+        via_mps = ac.calculate_overlap_between_circuits(c1, c2)
+    finally:
+        ac.DENSE_OVERLAP_MAX_QUBITS = orig
+    assert via_mps == pytest.approx(dense, abs=1e-6)
+    assert ac.calculate_overlap_between_circuits(c1, c1) == pytest.approx(
+        1.0, abs=1e-6)
+
+
 def test_mps_absorption_bookkeeping():
     """With rotosolve_frequency=2 and max_layers_to_modify=2, finalised
     layers must be absorbed into the MPS prefix while the returned solution

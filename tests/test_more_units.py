@@ -162,7 +162,7 @@ class TestNumberPreservingAnsatz:
 
 
 class TestCompileInPartsMPS:
-    def test_ladder_compilation_mps_backend(self):
+    def test_ladder_compilation_sv_backend(self):
         rng = np.random.default_rng(5)
         n = 3
         target = Circuit(n)
