@@ -52,6 +52,25 @@ def neel_circuit(n):
     return qc
 
 
+def staggered_magnetisation(circuit, chi=64):
+    """(1/n) sum_i (-1)^i <Z_i> of circuit|0>, simulated at bond dim chi."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.operations import make_quantum_only_circuit
+    from adaptaqc_tpu.circuits.tape import compile_tape
+
+    qc = make_quantum_only_circuit(circuit)
+    tape = compile_tape(qc)
+    state = mps_core.apply_tape(
+        mps_core.zero_mps(qc.num_qubits, chi), jnp.asarray(tape.kinds),
+        jnp.asarray(tape.q0), jnp.asarray(tape.q1),
+        jnp.asarray(tape.angles), 1e-16)
+    z = np.asarray(mps_core.z_expectations(state))
+    nrm2 = float(mps_core.mps_dot(state, state).re)
+    signs = (-1.0) ** np.arange(qc.num_qubits)
+    return float(np.mean(signs * z) / max(nrm2, 1e-30))
+
+
 def main():
     from adaptaqc_tpu import AdaptCompiler, AdaptConfig, mps_backend_with_args
     from adaptaqc_tpu.utils.ansatzes import identity_resolvable
@@ -117,6 +136,17 @@ def main():
     sol_2q, _ = co.find_num_gates(result.circuit)
     sol_depth = result.circuit.multi_qubit_gate_depth()
     circ_path = _save_circuit(result, f"spin_n{n}_s{steps}")
+    # Staggered magnetisation (1/n) sum_i (-1)^i <Z_i> — the observable the
+    # paper's fig5 measures on hardware (paper/fig5/experimental_sm_points.csv)
+    # — of the solution state vs the raw Trotter state, re-simulated
+    # independently at chi=64. Guarded: a multi-hour compile must never lose
+    # its record to the post-processing step.
+    sm_raw = sm_sol = None
+    try:
+        sm_raw = staggered_magnetisation(target, chi=64)
+        sm_sol = staggered_magnetisation(result.circuit, chi=64)
+    except Exception as exc:  # pragma: no cover - benchmark resilience
+        print(f"staggered-magnetisation check failed: {exc}", file=sys.stderr)
     record = {
         "workload": f"xxz_trotter_n{n}_steps{steps}_dt{dt}",
         "overlap": round(result.overlap, 4),
@@ -132,6 +162,8 @@ def main():
         "working_chi": max_chi,
         "method": method,
         "parts": getattr(result, "part_overlaps", None),
+        "sm_raw": None if sm_raw is None else round(sm_raw, 4),
+        "sm_solution": None if sm_sol is None else round(sm_sol, 4),
         "circuit": circ_path,
         "build": _git_rev(),
     }

@@ -191,3 +191,38 @@ def test_result_histories_consistent():
     assert len(result.global_cost_history) == layers + 1  # + final cost
     assert len(result.cnot_depth_history) == layers + 1
     assert len(result.entanglement_measures_history) == layers
+
+
+def test_compile_from_evolved_mps_matches_trotter_circuit():
+    """Physics-pipeline integration (reference test_adapt_compiler.py:856-912):
+    evolve a Neel state under the XXZ chain with the framework's own MPS
+    engine (the TEBD analogue), compile from the resulting MPS target with a
+    Neel starting circuit, and check the solution against an independently
+    assembled Trotter circuit via dense statevectors."""
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.kak import canonical_gate, decompose_2q_unitary
+    from adaptaqc_tpu.circuits.tape import compile_tape
+
+    n, steps, dt, delta = 3, 5, 0.4, 1.0
+    # bond gate exp(-i dt (XX + YY + delta ZZ)) == N(-dt, -dt, -delta*dt)
+    bond = decompose_2q_unitary(canonical_gate(-dt, -dt, -delta * dt))
+    prep = Circuit(n)
+    for q in range(0, n, 2):
+        prep.x(q)
+    circuit = prep.copy()
+    for _ in range(steps):
+        for parity in (0, 1):
+            for q in range(parity, n - 1, 2):
+                co.add_to_circuit(circuit, bond.copy(), qubit_subset=[q, q + 1])
+
+    tape = compile_tape(circuit)
+    st = mps_core.apply_tape(mps_core.zero_mps(n, 4), tape.kinds, tape.q0,
+                             tape.q1, tape.angles, 1e-16)
+    qmps = mps_core.to_qiskit_mps(st)
+
+    compiler = AdaptCompiler(qmps, backend=MPSBackend(),
+                             starting_circuit=prep)
+    result = compiler.compile()
+    sv_t = simulate(co.make_quantum_only_circuit(circuit))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - SUFFICIENT
