@@ -256,6 +256,13 @@ def main():
                                                         for r in paper)
             extras["random_mps_50q_converged"] = sum(r["overlap"] > 0.99
                                                      for r in paper)
+            best = {}
+            for r in paper:
+                s = r.get("seed")
+                best[s] = max(best.get(s, 0.0), r["overlap"])
+            extras["random_mps_50q_seeds_tried"] = len(best)
+            extras["random_mps_50q_seeds_converged"] = sum(
+                v > 0.99 for v in best.values())
     except OSError:
         pass
 
