@@ -61,9 +61,14 @@ def random_target(seed: int, n=50, chi=2):
     return mps_core.to_qiskit_mps(state)
 
 
-def compile_target(qmps, max_chi=None, sufficient_cost=1e-2, max_layers=None,
+def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
                    method="general_gradient"):
     import os
+    if sufficient_cost is None:
+        # RMPS_SUFF < 1e-2 leaves margin above the paper's 0.99 threshold:
+        # a stop at exactly cost 1e-2 records an overlap that rounds to
+        # 0.9900 and fails a strict >0.99 tally (seeds 57/69 did)
+        sufficient_cost = float(os.environ.get("RMPS_SUFF", 1e-2))
     if max_chi is None:
         # chi=32 is the right operating point: the 4*chi real-embedded eigh
         # inside every 2q apply costs 0.11 ms at chi=32 vs 1.6 ms at chi=64
@@ -178,6 +183,7 @@ def main():
                               getattr(result, "phase_timings", {}).items()},
             "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
             "start_variant": int(os.environ.get("RMPS_START_VARIANT", 0)),
+            "sufficient_cost": float(os.environ.get("RMPS_SUFF", 1e-2)),
             "circuit": circ_path,
             "build": _git_rev(),
         }
