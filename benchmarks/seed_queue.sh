@@ -1,0 +1,39 @@
+#!/bin/bash
+# Unattended TPU benchmark queue (2026-08-17): waits for the axon tunnel,
+# then runs near-threshold seed retries, the n=50 spin-chain ladder, and
+# fresh paper seeds 71-100. Records append to the results jsonl files.
+export PYTHONPATH=/root/repo:/root/.axon_site
+log=/tmp/tpu_batch.log
+echo "batch waiting for tunnel $(date)" >> $log
+while true; do
+  timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1 && break
+  sleep 120
+done
+echo "tunnel alive $(date)" >> $log
+# Phase 1: near-threshold retries (start_variant=1 rerolls trajectory) - likely quick wins
+for s in 41 63 65 47 57 69; do
+  echo "=== retry seed $s variant 1 $(date)" >> $log
+  RMPS_START_VARIANT=1 RMPS_LAYERS=800 RMPS_SUFF=8e-3 timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+done
+# Phase 2: spin-chain ladder at n=50 (the deep-target headline; direct compile stalls)
+echo "=== spin ladder n50 steps2 $(date)" >> $log
+SPIN_PARTS=1 SPIN_LAYERS=400 timeout 5400 python benchmarks/spin_chain.py 50 2 0.25 >> $log 2>&1
+echo "=== spin ladder n50 steps5 $(date)" >> $log
+SPIN_PARTS=1 SPIN_LAYERS=400 timeout 9000 python benchmarks/spin_chain.py 50 5 0.2 >> $log 2>&1
+echo "=== spin direct n50 steps1 chi64 $(date)" >> $log
+SPIN_CHI=64 SPIN_LAYERS=400 timeout 7200 python benchmarks/spin_chain.py 50 1 0.2 >> $log 2>&1
+# Phase 3: fresh seeds
+for s in 71 72 73 74 75 76 77 78 79 80 81 82 83 84 85 86 87 88 89 90; do
+  echo "=== fresh seed $s $(date)" >> $log
+  timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+done
+# Phase 4: harder retries + remaining fresh
+for s in 59 67 68 56 99; do
+  echo "=== retry seed $s variant 1 $(date)" >> $log
+  RMPS_START_VARIANT=1 RMPS_LAYERS=800 RMPS_SUFF=8e-3 timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+done
+for s in 91 92 93 94 95 96 97 98 100; do
+  echo "=== fresh seed $s $(date)" >> $log
+  timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+done
+echo "batch done $(date)" >> $log
