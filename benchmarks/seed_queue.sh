@@ -2,6 +2,7 @@
 # Unattended TPU benchmark queue (2026-08-17): waits for the axon tunnel,
 # then runs near-threshold seed retries, the n=50 spin-chain ladder, and
 # fresh paper seeds 71-100. Records append to the results jsonl files.
+cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log=/tmp/tpu_batch.log
 echo "batch waiting for tunnel $(date)" >> $log
