@@ -1,7 +1,8 @@
 #!/bin/bash
+# Wait for the TPU tunnel, then run prioritized workloads unattended.
 # Unattended TPU benchmark queue (2026-08-17): waits for the axon tunnel,
-# then runs near-threshold seed retries, the n=50 spin-chain ladder, and
-# fresh paper seeds 71-100. Records append to the results jsonl files.
+# then runs retries matched to each failure mode, the n=50 spin-chain
+# ladder, and fresh paper seeds 71-100.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log=/tmp/tpu_batch.log
@@ -28,12 +29,14 @@ for s in 71 72 73 74 75 76 77 78 79 80 81 82 83 84 85 86 87 88 89 90; do
   echo "=== fresh seed $s $(date)" >> $log
   timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
-# Phase 4: harder retries + remaining fresh
-for s in 59 67 68 56 99; do
-  echo "=== retry seed $s variant 1 $(date)" >> $log
-  RMPS_START_VARIANT=1 RMPS_LAYERS=800 RMPS_SUFF=8e-3 timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+# Phase 4: hard plateau seeds at chi=64 working precision (the fix that
+# rescued seed 56: the chi=32 cost surrogate goes inexact on these), then
+# the remaining fresh seeds
+for s in 59 67 68; do
+  echo "=== retry seed $s chi64 $(date)" >> $log
+  RMPS_CHI=64 RMPS_LAYERS=600 RMPS_SUFF=8e-3 timeout 7200 python benchmarks/random_mps.py $s >> $log 2>&1
 done
-for s in 91 92 93 94 95 96 97 98 100; do
+for s in 91 92 93 94 95 96 97 98 99 100; do
   echo "=== fresh seed $s $(date)" >> $log
   timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
