@@ -1,8 +1,5 @@
 #!/bin/bash
 # Wait for the TPU tunnel, then run prioritized workloads unattended.
-# Unattended TPU benchmark queue (2026-08-17): waits for the axon tunnel,
-# then runs retries matched to each failure mode, the n=50 spin-chain
-# ladder, and fresh paper seeds 71-100.
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log=/tmp/tpu_batch.log
@@ -40,4 +37,8 @@ for s in 91 92 93 94 95 96 97 98 99 100; do
   echo "=== fresh seed $s $(date)" >> $log
   timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
+# Phase 5: 100-qubit scale attempt (long budget; previous 800-layer run
+# reached overlap 0.32 -- the layer budget, not the engine, was the cap)
+echo "=== 100q seed 1 $(date)" >> $log
+RMPS_N=100 RMPS_LAYERS=1600 timeout 10800 python benchmarks/random_mps.py 1 >> $log 2>&1
 echo "batch done $(date)" >> $log
