@@ -209,8 +209,34 @@ def measured_cpu_baseline(n, chi, window_layers):
     return value, False
 
 
+def tunnel_alive(timeout=240):
+    """Probe device initialisation in a subprocess: the axon tunnel, when
+    down, makes jax.devices() hang indefinitely (not error), which would
+    hang the whole benchmark. A subprocess can be killed; in-process jax
+    cannot."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout)
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if (os.environ.get("JAX_PLATFORMS", "") != "cpu"
+            and not os.environ.get("BENCH_TUNNEL_CHECKED")):
+        os.environ["BENCH_TUNNEL_CHECKED"] = "1"
+        if not tunnel_alive():
+            log("TPU tunnel unresponsive; re-running on CPU (labeled)")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["BENCH_TUNNEL_FALLBACK"] = "1"
+            os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                      os.environ)
+
     import jax
+    if os.environ.get("BENCH_TUNNEL_FALLBACK"):
+        jax.config.update("jax_platforms", "cpu")
 
     n = int(os.environ.get("BENCH_N", 50))
     chi = int(os.environ.get("BENCH_CHI", 64))
@@ -275,10 +301,13 @@ def main():
     else:
         vs_baseline = None
 
+    unit = "equivalent cost evaluations / second (n=%d, chi=%d)" % (n, chi)
+    if os.environ.get("BENCH_TUNNEL_FALLBACK"):
+        unit += " [CPU FALLBACK - TPU tunnel down at bench time]"
     print(json.dumps({
         "metric": "overlap_cost_evals_per_sec_50q_mps",
         "value": round(evals_per_sec, 1),
-        "unit": "equivalent cost evaluations / second (n=%d, chi=%d)" % (n, chi),
+        "unit": unit,
         "vs_baseline": vs_baseline,
         **extras,
     }))
