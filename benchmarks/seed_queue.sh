@@ -23,8 +23,8 @@ echo "=== spin direct n50 steps1 chi64 $(date)" >> $log
 SPIN_CHI=64 SPIN_LAYERS=400 timeout 7200 python benchmarks/spin_chain.py 50 1 0.2 >> $log 2>&1
 # Phase 3: fresh seeds
 for s in 71 72 73 74 75 76 77 78 79 80 81 82 83 84 85 86 87 88 89 90; do
-  echo "=== fresh seed $s $(date)" >> $log
-  timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+  echo "=== fresh seed $s (zigzag=$((s % 2))) $(date)" >> $log
+  ADAPTAQC_ZIGZAG=$((s % 2)) timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
 # Phase 4: hard plateau seeds at chi=64 working precision (the fix that
 # rescued seed 56: the chi=32 cost surrogate goes inexact on these), then
@@ -34,8 +34,8 @@ for s in 59 67 68; do
   RMPS_CHI=64 RMPS_LAYERS=600 RMPS_SUFF=8e-3 timeout 7200 python benchmarks/random_mps.py $s >> $log 2>&1
 done
 for s in 91 92 93 94 95 96 97 98 99 100; do
-  echo "=== fresh seed $s $(date)" >> $log
-  timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+  echo "=== fresh seed $s (zigzag=$((s % 2))) $(date)" >> $log
+  ADAPTAQC_ZIGZAG=$((s % 2)) timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
 # Phase 5: 100-qubit scale attempt (long budget; previous 800-layer run
 # reached overlap 0.32 -- the layer budget, not the engine, was the cap)
