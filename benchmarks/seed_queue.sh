@@ -9,10 +9,11 @@ while true; do
   sleep 120
 done
 echo "tunnel alive $(date)" >> $log
-# Phase 1: near-threshold retries (start_variant=1 rerolls trajectory) - likely quick wins
-for s in 41 63 65 47 57 69; do
-  echo "=== retry seed $s variant 1 $(date)" >> $log
-  RMPS_START_VARIANT=1 RMPS_LAYERS=800 RMPS_SUFF=8e-3 timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
+# Phase 1: warm-start refinement of every outstanding seed's best saved
+# circuit at chi=64 (starts from cost ~0.02; CPU-validated in refine.py)
+for s in 41 63 65 57 69 59 67 68; do
+  echo "=== refine seed $s $(date)" >> $log
+  timeout 4500 python benchmarks/refine.py $s >> $log 2>&1
 done
 # Phase 2: spin-chain ladder at n=50 (the deep-target headline; direct compile stalls)
 echo "=== spin ladder n50 steps2 $(date)" >> $log
@@ -29,10 +30,6 @@ done
 # Phase 4: hard plateau seeds at chi=64 working precision (the fix that
 # rescued seed 56: the chi=32 cost surrogate goes inexact on these), then
 # the remaining fresh seeds
-for s in 59 67 68; do
-  echo "=== retry seed $s chi64 $(date)" >> $log
-  RMPS_CHI=64 RMPS_LAYERS=600 RMPS_SUFF=8e-3 timeout 7200 python benchmarks/random_mps.py $s >> $log 2>&1
-done
 for s in 91 92 93 94 95 96 97 98 99 100; do
   echo "=== fresh seed $s (zigzag=$((s % 2))) $(date)" >> $log
   ADAPTAQC_ZIGZAG=$((s % 2)) timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
