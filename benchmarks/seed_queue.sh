@@ -3,28 +3,37 @@
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 log=/tmp/tpu_batch.log
+wait_tunnel() {
+  while true; do
+    timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1 && return
+    echo "tunnel down, waiting $(date)" >> $log
+    sleep 120
+  done
+}
 echo "batch waiting for tunnel $(date)" >> $log
-while true; do
-  timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1 && break
-  sleep 120
-done
+wait_tunnel
 echo "tunnel alive $(date)" >> $log
 # Phase 1: warm-start refinement of every outstanding seed's best saved
 # circuit at chi=64 (starts from cost ~0.02; CPU-validated in refine.py)
 for s in 41 63 65 57 69 59 67 68; do
   echo "=== refine seed $s $(date)" >> $log
+  wait_tunnel
   timeout 4500 python benchmarks/refine.py $s >> $log 2>&1
 done
 # Phase 2: spin-chain ladder at n=50 (the deep-target headline; direct compile stalls)
 echo "=== spin ladder n50 steps2 $(date)" >> $log
+wait_tunnel
 SPIN_PARTS=1 SPIN_LAYERS=400 timeout 5400 python benchmarks/spin_chain.py 50 2 0.25 >> $log 2>&1
 echo "=== spin ladder n50 steps5 $(date)" >> $log
+wait_tunnel
 SPIN_PARTS=1 SPIN_LAYERS=400 timeout 9000 python benchmarks/spin_chain.py 50 5 0.2 >> $log 2>&1
 echo "=== spin direct n50 steps1 chi64 $(date)" >> $log
+wait_tunnel
 SPIN_CHI=64 SPIN_LAYERS=400 timeout 7200 python benchmarks/spin_chain.py 50 1 0.2 >> $log 2>&1
 # Phase 3: fresh seeds
 for s in 71 72 73 74 75 76 77 78 79 80 81 82 83 84 85 86 87 88 89 90; do
   echo "=== fresh seed $s (zigzag=$((s % 2))) $(date)" >> $log
+  wait_tunnel
   ADAPTAQC_ZIGZAG=$((s % 2)) timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
 # Phase 4: hard plateau seeds at chi=64 working precision (the fix that
@@ -32,10 +41,12 @@ done
 # the remaining fresh seeds
 for s in 91 92 93 94 95 96 97 98 99 100; do
   echo "=== fresh seed $s (zigzag=$((s % 2))) $(date)" >> $log
+  wait_tunnel
   ADAPTAQC_ZIGZAG=$((s % 2)) timeout 2700 python benchmarks/random_mps.py $s >> $log 2>&1
 done
 # Phase 5: 100-qubit scale attempt (long budget; previous 800-layer run
 # reached overlap 0.32 -- the layer budget, not the engine, was the cap)
 echo "=== 100q seed 1 $(date)" >> $log
+wait_tunnel
 RMPS_N=100 RMPS_LAYERS=1600 timeout 10800 python benchmarks/random_mps.py 1 >> $log 2>&1
 echo "batch done $(date)" >> $log
