@@ -226,3 +226,22 @@ def test_compile_from_evolved_mps_matches_trotter_circuit():
     sv_t = simulate(co.make_quantum_only_circuit(circuit))
     sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
     assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - SUFFICIENT
+
+
+def test_warm_start_from_saved_circuit_qasm():
+    """The refine workflow (benchmarks/refine.py): a capped run's solution,
+    round-tripped through QASM, continues as initial_ansatz to convergence
+    (reference initial-ansatz semantics: adapt_compiler.py:536-583)."""
+    from adaptaqc_tpu.circuits import qasm
+
+    qc = small_target(4, seed=21, depth=20)
+    stage1 = AdaptCompiler(qc, backend=SVBackend(),
+                           adapt_config=AdaptConfig(max_layers=1))
+    r1 = stage1.compile()
+    assert r1.overlap <= 1 - SUFFICIENT  # genuinely capped
+
+    ansatz = co.make_quantum_only_circuit(qasm.loads(qasm.dumps(r1.circuit)))
+    stage2 = AdaptCompiler(qc, backend=SVBackend(),
+                           adapt_config=AdaptConfig(max_layers=60))
+    r2 = stage2.compile(initial_ansatz=ansatz)
+    check_result(r2, qc)
