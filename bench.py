@@ -270,27 +270,20 @@ def main():
                 f"({device.device_kind}; f32 HIGHEST matmuls pay a ~6x "
                 "multi-pass factor vs bf16)")
 
-    # convergence evidence from recorded paper-workload runs
-    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "benchmarks", "results_random_mps.jsonl")
+    # convergence evidence from recorded paper-workload runs. Single
+    # criterion, single code path: benchmarks/summarize.py (per-seed best of
+    # compiler overlap and independent chi=64 re-check, strict > 0.99).
     try:
-        records = [json.loads(line) for line in open(results_path)]
-        paper = [r for r in records if r.get("source") == "reference paper target"]
-        if paper:
-            extras["random_mps_50q_runs"] = len(paper)
-            extras["random_mps_50q_best_overlap"] = max(r["overlap"]
-                                                        for r in paper)
-            extras["random_mps_50q_converged"] = sum(r["overlap"] > 0.99
-                                                     for r in paper)
-            best = {}
-            for r in paper:
-                s = r.get("seed")
-                best[s] = max(best.get(s, 0.0), r["overlap"])
-            extras["random_mps_50q_seeds_tried"] = len(best)
-            extras["random_mps_50q_seeds_converged"] = sum(
-                v > 0.99 for v in best.values())
-    except OSError:
-        pass
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import summarize as _summ
+        rm = _summ.random_mps_summary()
+        if rm["runs"]:
+            extras["random_mps_50q_runs"] = rm["runs"]
+            extras["random_mps_50q_seeds_tried"] = rm["seeds_tried"]
+            extras["random_mps_50q_seeds_converged"] = rm["seeds_converged"]
+    except Exception as e:
+        log(f"bench: could not summarise paper records: {e}")
 
     baseline, cached = measured_cpu_baseline(n, chi, window_layers)
     if baseline:
