@@ -349,6 +349,20 @@ def z_expectations(state: MPS):
     return w[:, 0] - w[:, 1]
 
 
+def full_cost_terms(state: MPS, ref: MPS):
+    """(global cost vs ref, local cost, hamming-1 overlap sum) of one state —
+    the probe cost kernel for the full-cost device sweep. Semantics mirror
+    the host backend layer: normalised global cost (evaluate_global_cost /
+    aer_mps_backend.py:49-57), local cost 0.5(1 - mean <Z_q>) (:72-74),
+    normalised hamming-1 sum (:88-93, shared |psi|^2 normalisation as in
+    softened_cost_terms)."""
+    nrm2 = jnp.maximum(mps_dot(state, state).re, 1e-30)
+    g = 1.0 - mps_dot(ref, state).abs2() / nrm2
+    loc = 0.5 * (1.0 - jnp.mean(z_expectations(state)))
+    h1 = jnp.sum(hamming1_overlaps(state)) / nrm2
+    return g, loc, h1
+
+
 def local_overlap_matrix(r_state: MPS, l_state: MPS, q) -> C:
     """C[i,j] = <R| |i><j|_q |L> for the Rotosolve sweep — prefix/suffix
     transfer environments with open physical legs at site q.
@@ -771,7 +785,8 @@ def sweep_engine(threshold: float, allow_pallas: bool = True,
             else None
         engine = SweepEngine(
             f"mps[{threshold},pallas={use_pallas},env={use_env}]",
-            apply_gate, apply_adj, overlap_fn, mps_dot, env_ops)
+            apply_gate, apply_adj, overlap_fn, mps_dot, env_ops,
+            cost_terms=full_cost_terms)
         _ENGINE_CACHE[key] = engine
     return engine
 

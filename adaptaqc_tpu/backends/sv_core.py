@@ -133,6 +133,20 @@ def z_expectations(state: C, n: int):
     return jax.vmap(one)(jnp.arange(n, dtype=jnp.int32))
 
 
+def full_cost_terms(state: C, ref: C):
+    """(global cost vs ref, local cost, hamming-1 overlap sum) of one state —
+    the probe cost kernel for the full-cost device sweep. Semantics mirror
+    the host backend layer exactly: global 1 - |<ref|psi>|^2
+    (aer_sv_backend.py:28-36), local 0.5(1 - mean <Z_q>) (:38-47), hamming-1
+    sum of |<e_i|psi>|^2 (aer_mps_backend.py:88-93)."""
+    n = int(np.log2(state.re.shape[0]))
+    g = 1.0 - cplx.vdot(ref, state).abs2()
+    loc = 0.5 * (1.0 - jnp.mean(z_expectations(state, n)))
+    probs = state.abs2()
+    h1 = jnp.sum(probs[jnp.asarray(2 ** np.arange(n), jnp.int32)])
+    return g, loc, h1
+
+
 def local_overlap_matrix(r_state: C, l_state: C, q) -> C:
     """C[i, j] = <R| (|i><j| on qubit q) |L> — the 2x2 local overlap matrix.
 
@@ -213,5 +227,6 @@ def sweep_engine() -> "SweepEngine":
     if _ENGINE is None:
         from ..optim.sweeps import SweepEngine
         _ENGINE = SweepEngine("sv", apply_gate, apply_gate_adjoint,
-                              local_overlap_matrix, overlap)
+                              local_overlap_matrix, overlap,
+                              cost_terms=full_cost_terms)
     return _ENGINE

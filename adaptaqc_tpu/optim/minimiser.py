@@ -67,6 +67,10 @@ class CostMinimiser:
             if self._can_fast_sweep():
                 return self._roto_device(rotoselect, max_cycles, stop_val, tol,
                                          indexes_to_modify)
+            if self._can_full_sweep(rotoselect):
+                return self._roto_device_full(rotoselect, max_cycles,
+                                              stop_val, tol,
+                                              indexes_to_modify)
             return self._roto_host(rotoselect, max_cycles, stop_val, tol,
                                    indexes_to_modify)
         elif algorithm_kind == vconstants.ALG_SCIPY:
@@ -90,6 +94,101 @@ class CostMinimiser:
             if lbl is not None and ("#" in lbl or "@" in lbl):
                 return False
         return True
+
+    def _can_full_sweep(self, rotoselect) -> bool:
+        """Device path for local-cost / softened-cost optimisation: the probe
+        cost is not a single overlap, so the O(G) environment sweep does not
+        apply, but the reference's full-simulation probes
+        (cost_minimiser.py:267-368) fuse into one device program
+        (sweeps.sweep_full)."""
+        comp = self.compiler
+        if not (comp.optimise_local_cost or comp.soften_global_cost):
+            return False
+        if not (self.rotosolve_fraction >= 1.0 or rotoselect):
+            return False  # per-cycle gate subsampling stays on the host path
+        engine = comp.backend.sweep_engine()
+        if engine is None or engine.cost_terms is None:
+            return False
+        rng = self.variational_circuit_range()
+        for i in range(rng[0], len(self.full_circuit.data)):
+            lbl = self.full_circuit.data[i].label
+            if lbl is not None and ("#" in lbl or "@" in lbl):
+                return False
+        return True
+
+    def _cost_weights(self):
+        """(w_global, w_local, alpha) for the full-cost sweep, mirroring the
+        backend cost layer: local cost when optimise_local_cost
+        (aer_mps_backend.py:72-74), else global with the softening penalty
+        alpha = |previous_cost - sufficient_cost| (:49-70; alpha is constant
+        within one minimize_cost call since the cost history only grows
+        between layers)."""
+        comp = self.compiler
+        if comp.optimise_local_cost:
+            return (0.0, 1.0, 0.0)
+        alpha = 0.0
+        if comp.soften_global_cost:
+            previous_cost = (comp.global_cost_history[-1]
+                             if len(comp.global_cost_history) > 0 else 1)
+            alpha = abs(previous_cost - comp.adapt_config.sufficient_cost)
+        return (1.0, 0.0, float(alpha))
+
+    def _roto_device_full(self, rotoselect, max_cycles, stop_val, tol,
+                          indexes_to_modify):
+        comp = self.compiler
+        alg_name = "ROTOSELECT" if rotoselect else "ROTOSOLVE"
+        var_range = self.variational_circuit_range()
+        if indexes_to_modify is None:
+            indexes_to_modify = var_range
+        else:
+            indexes_to_modify = (max(indexes_to_modify[0], var_range[0]),
+                                 min(indexes_to_modify[1], var_range[1]))
+
+        prefix = comp._prefix_state()
+        tape_start = var_range[0]
+        hint = getattr(comp, "_advance_hint", None)
+        comp._advance_hint = None
+        if indexes_to_modify[0] > tape_start:
+            if hint is not None and hint[0] == indexes_to_modify[0]:
+                prefix = hint[1]
+            else:
+                pre_tape = compile_tape(self.full_circuit,
+                                        (tape_start, indexes_to_modify[0]))
+                prefix = comp.backend.run_tape(prefix, pre_tape)
+            tape_start = indexes_to_modify[0]
+
+        tape_range = (tape_start, len(self.full_circuit.data))
+        tape = compile_tape(self.full_circuit, tape_range)
+        base_indices = [i - tape_range[0] for i in range(*indexes_to_modify)]
+        full_mask = select_mask(tape, base_indices)
+
+        ref = comp.backend.zero_ref(comp)
+        engine = comp.backend.sweep_engine()
+        kinds = jnp.asarray(tape.kinds)
+        angles = jnp.asarray(tape.angles)
+        q0 = jnp.asarray(tape.q0)
+        q1 = jnp.asarray(tape.q1)
+        dt = angles.dtype
+        weights = jnp.asarray(self._cost_weights(), dt)
+
+        init_state = comp._current_cache
+        init_state = () if init_state is None else init_state
+
+        logger.info(f"Starting {alg_name} (full-cost device path)")
+        (kinds, angles, cost_dev, cycles, evals,
+         final_state) = sweeps.sweep_full_until_converged(
+            engine, rotoselect, int(max_cycles), prefix, ref, kinds, q0, q1,
+            angles, jnp.asarray(full_mask), jnp.asarray(stop_val, dt),
+            jnp.asarray(tol, dt), weights, init_state)
+        comp.cost_evaluation_counter += int(evals)
+        cost = float(cost_dev)
+        logger.info(f"{alg_name} ran {int(cycles)} full-cost cycles on device")
+        writeback_angles(self.full_circuit, tape_range, tape,
+                         np.asarray(kinds), np.asarray(angles))
+        comp._invalidate_current()
+        comp._current_cache = final_state
+        logger.info(f"{alg_name} finished with cost {cost}")
+        return cost
 
     def _roto_device(self, rotoselect, max_cycles, stop_val, tol,
                      indexes_to_modify):

@@ -72,6 +72,9 @@ class SweepEngine(NamedTuple):
     overlap: Callable[..., Any]
     # optional EnvOps enabling incremental probe environments
     env_ops: Any = None
+    # optional (state, ref) -> (global_cost, local_cost, hamming1_sum):
+    # the probe cost kernel for the full-cost sweep (local / softened modes)
+    cost_terms: Any = None
 
 
 def _probe_and_update(engine, r_state, l_state, kind, q0, rotoselect: bool):
@@ -508,6 +511,167 @@ def sweep_zigzag_until_converged(engine: SweepEngine, rotoselect: bool,
     k, a, ov2_f, l_final, ev_f, _ = _zz_forward(
         engine, rotoselect, prefix_state, ref_state, xs, r_buf)
     return (k, a, 1.0 - ov2_f, cycles + 1, evals + ev_f, l_final)
+
+
+# ------------------------------------------------------ full-cost probe sweep
+#
+# Device fast path for LOCAL-cost and SOFTENED-global-cost optimisation,
+# where the probe cost is not a single overlap with a fixed reference (so the
+# O(G) right-environment trick above does not apply). Semantics exactly mirror
+# the reference's host loop (cost_minimiser.py:267-368): for each trainable
+# gate, the cost is evaluated at the 3 probe angles {0, +pi/2, -pi/2}
+# (Rotosolve) or the 7 axis probes (Rotoselect), each probe being a FULL
+# simulation of the remaining circuit — but all probes of one angle run as a
+# vmapped batch, the whole cycle is one fused device program (no 33-70 ms
+# relay sync per probe), and the shared circuit prefix is advanced
+# incrementally instead of re-simulated from scratch per probe. Cost per
+# cycle is O(sum_k suffix_len(k)) ~ O(G^2/2) batched gate applies vs the
+# reference's 3 * G full re-simulations of the ENTIRE circuit plus one host
+# round trip per probe.
+#
+# The probe cost is a weighted combination of the engine's cost_terms:
+#     cost = w_global * global + w_local * local - alpha * hamming1_sum
+# (w_local=1 for optimise_local_cost, alpha=|prev_cost - sufficient_cost|
+# for soften_global_cost — aer_mps_backend.py:49-74). Weights are traced
+# scalars, so every mode shares one compiled program per tape shape.
+
+_SOLVE_ANGLES = (0.0, jnp.pi / 2, -jnp.pi / 2)
+
+
+def _probe_specs(rotoselect: bool, kind):
+    """(probe_kinds, probe_angles) for one gate. Rotosolve: the gate's own
+    axis at {0, +pi/2, -pi/2}. Rotoselect: identity probe (rx 0) + 2 probes
+    per axis — the reference's 7 evaluations (cost_minimiser.py:318-342)."""
+    if rotoselect:
+        kinds = jnp.asarray([G.RX, G.RX, G.RX, G.RY, G.RY, G.RZ, G.RZ],
+                            kind.dtype)
+        angles = jnp.asarray([0.0, jnp.pi / 2, -jnp.pi / 2, jnp.pi / 2,
+                              -jnp.pi / 2, jnp.pi / 2, -jnp.pi / 2])
+    else:
+        kinds = jnp.stack([kind, kind, kind])
+        angles = jnp.asarray(_SOLVE_ANGLES)
+    return kinds, angles
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def sweep_full(engine: SweepEngine, rotoselect: bool, prefix_state, ref_state,
+               kinds, q0s, q1s, angles, select, weights):
+    """One full-cost Rotosolve/Rotoselect cycle. `weights` = (w_global,
+    w_local, alpha). Returns (new_kinds, new_angles, final_cost, final_state,
+    n_evals)."""
+    Gp = kinds.shape[0]
+    wg, wl, alpha = weights[0], weights[1], weights[2]
+
+    def probe_cost(state):
+        g, l, h1 = engine.cost_terms(state, ref_state)
+        return wg * g + wl * l - alpha * h1
+
+    apply_batch = jax.vmap(engine.apply, in_axes=(0, None, None, None, None))
+    apply_probes = jax.vmap(engine.apply, in_axes=(None, 0, None, None, 0))
+
+    def gate_step(carry, k_idx):
+        l_state, ks, angs, evals = carry
+        kind = ks[k_idx]
+        a, b = q0s[k_idx], q1s[k_idx]
+        th = angs[k_idx]
+        sel = select[k_idx]
+
+        def probed(args):
+            l_state, ks, angs = args
+            pk, pa = _probe_specs(rotoselect, kind)
+            probes = apply_probes(l_state, pk, a, b, pa)
+
+            # evolve every probe through the suffix (gates j > k, at their
+            # current values) — the masked scan is the full-circuit
+            # re-simulation of the reference's probe, batched and fused
+            def suf_step(states, x):
+                jk, ja, jb, jth, j = x
+                states = lax.cond(
+                    j > k_idx,
+                    lambda s: apply_batch(s, jk, ja, jb, jth),
+                    lambda s: s, states)
+                return states, None
+
+            idx = jnp.arange(Gp, dtype=k_idx.dtype)
+            probes, _ = lax.scan(suf_step, probes, (ks, q0s, q1s, angs, idx))
+            costs = jax.vmap(probe_cost)(probes)
+
+            if rotoselect:
+                def axis_min(m):
+                    return minimum_of_sinusoidal_dev(
+                        costs[0], costs[1 + 2 * m], costs[2 + 2 * m])
+                thetas, mins = jax.vmap(axis_min)(jnp.arange(3))
+                best = jnp.argmin(mins)
+                nk = (G.RX + best).astype(kind.dtype)
+                return nk, thetas[best], jnp.int32(7)
+            theta, _cmin = minimum_of_sinusoidal_dev(costs[0], costs[1],
+                                                     costs[2])
+            return kind, theta, jnp.int32(3)
+
+        def skipped(args):
+            return kind, th, jnp.int32(0)
+
+        nk, na, ne = lax.cond(sel, probed, skipped, (l_state, ks, angs))
+        ks = ks.at[k_idx].set(nk)
+        angs = angs.at[k_idx].set(na)
+        l_state = engine.apply(l_state, nk, a, b, na)
+        return (l_state, ks, angs, evals + ne), None
+
+    init = (prefix_state, kinds, angles, jnp.int32(0))
+    (l_state, ks, angs, evals), _ = lax.scan(
+        gate_step, init, jnp.arange(Gp, dtype=jnp.int32))
+    final_cost = probe_cost(l_state)
+    return ks, angs, final_cost, l_state, evals
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def sweep_full_until_converged(engine: SweepEngine, rotoselect: bool,
+                               max_cycles: int, prefix_state, ref_state,
+                               kinds, q0s, q1s, angles, select, stop_val,
+                               tol, weights, init_state=()):
+    """Full-cost cycles to convergence in one device call. Stopping mirrors
+    the reference's host loop (cost_minimiser.py:90-105): cost > stop_val,
+    cycle budget, and the 3-window relative-slope improvement test on the
+    cost history only (local / softened costs do not saturate at 1.0 the way
+    the tiny-overlap global cost does, so no ov^2 channel is needed).
+
+    Returns (kinds, angles, final_cost, cycles, evals, final_state)."""
+    wg, wl, alpha = weights[0], weights[1], weights[2]
+
+    def full_cost(state):
+        g, l, h1 = engine.cost_terms(state, ref_state)
+        return wg * g + wl * l - alpha * h1
+
+    if isinstance(init_state, tuple) and init_state == ():
+        def body(s, x):
+            return engine.apply(s, *x), None
+
+        init_state, _ = lax.scan(body, prefix_state,
+                                 (kinds, q0s, q1s, angles))
+    cost0 = full_cost(init_state)
+
+    big = jnp.asarray(1e30, angles.dtype)
+
+    def cond(carry):
+        k, a, cost, hist, cycle, evals, state = carry
+        not_done = (cost > stop_val) & (cycle < max_cycles)
+        improving = jnp.where(cycle > 3,
+                              ~_stopped_improving_dev(hist, tol), True)
+        return not_done & improving
+
+    def body(carry):
+        k, a, cost, hist, cycle, evals, state = carry
+        k, a, cost, state, ev = sweep_full(engine, rotoselect, prefix_state,
+                                           ref_state, k, q0s, q1s, a, select,
+                                           weights)
+        hist = jnp.stack([hist[1], hist[2], cost])
+        return (k, a, cost, hist, cycle + 1, evals + ev, state)
+
+    init = (kinds, angles, cost0, jnp.stack([big, big, big]), jnp.int32(0),
+            jnp.int32(1), init_state)
+    (k, a, cost, hist, cycles, evals, state) = lax.while_loop(cond, body,
+                                                              init)
+    return k, a, cost, cycles, evals, state
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
