@@ -317,6 +317,141 @@ def eigh_top(h: C, keep: int):
     return eig_out, C(basis_re, basis_im)
 
 
+def tridiagonalize(h: C):
+    """Complex Householder tridiagonalization H = Q T Q^H in split-complex.
+
+    T is REAL symmetric tridiagonal (LAPACK zhetd2 semantics: each reflector
+    is phased so the subdiagonal comes out real), Q is the product
+    H_0^H H_1^H ... H_{n-2}^H of the elementary reflectors
+    H_k = I - tau_k v_k v_k^H. This halves the native-eigh problem size vs
+    the real embedding (eigh_top): R(H) is 2n x 2n where T is n x n, and the
+    TPU Eigh custom call scales ~n^3.5.
+
+    Returns (d (n,), e (n-1,), vrows C (n-1, n) with vrows[k] = v_k, tau
+    C (n-1,)). v_k is zero on rows <= k and has v_k[k+1] = 1.
+    """
+    n = h.shape[-1]
+    dt = h.dtype
+    # Hermitize: the Gram matrices fed in carry f32 asymmetry noise
+    ar0 = (h.re + h.re.T) * 0.5
+    ai0 = (h.im - h.im.T) * 0.5
+    idx = jnp.arange(n)
+
+    def step(carry, k):
+        ar, ai = carry
+        colr = jnp.take(ar, k, axis=1)
+        coli = jnp.take(ai, k, axis=1)
+        m2 = idx > k + 1
+        sel1 = (idx == k + 1).astype(dt)
+        alpha_r = jnp.sum(sel1 * colr)
+        alpha_i = jnp.sum(sel1 * coli)
+        xnorm2 = jnp.sum(jnp.where(m2, colr * colr + coli * coli, 0.0))
+        nrm = jnp.sqrt(alpha_r * alpha_r + alpha_i * alpha_i + xnorm2)
+        # Scale-invariant zlarfg: normalise y = [alpha; x] first, so the
+        # divisor |alpha^ - beta^|^2 >= 1 and no underflow floor is needed
+        # (an absolute floor breaks reflector unitarity on rounding-noise
+        # trailing blocks of rank-deficient matrices).
+        active = nrm > 0
+        inv = jnp.where(active, 1.0 / jnp.where(active, nrm, 1.0), 0.0)
+        ahr = alpha_r * inv
+        ahi = alpha_i * inv
+        # beta^ = -sign(Re(alpha^)) (so |Re(alpha^ - beta^)| >= 1)
+        bh = jnp.where(ahr >= 0, -1.0, 1.0)
+        beta = jnp.where(active, bh * nrm, 0.0)
+        # tau = (beta^ - alpha^) / beta^ = 1 - alpha^ * beta^  (beta^^2 = 1)
+        tau_r = jnp.where(active, 1.0 - ahr * bh, 0.0)
+        tau_i = jnp.where(active, -ahi * bh, 0.0)
+        # v = [0..0, 1, x^ / (alpha^ - beta^)]
+        dr = ahr - bh
+        di = ahi
+        dn = dr * dr + di * di
+        safe_dn = jnp.where(active, dn, 1.0)
+        vr = jnp.where(m2, (colr * dr + coli * di) * inv / safe_dn, 0.0) + sel1
+        vi = jnp.where(m2, (coli * dr - colr * di) * inv / safe_dn, 0.0)
+
+        # Hermitian similarity A <- H^H A H (the reflector zeroes the column
+        # from the LEFT as H^H y = beta e1) = A - v w^H - w v^H with
+        # u = A v, s = v^H u, w = tau (u - (conj(tau) s / 2) v)
+        ur = _mm(ar, vr) - _mm(ai, vi)
+        ui = _mm(ar, vi) + _mm(ai, vr)
+        s_r = jnp.sum(vr * ur + vi * ui)
+        s_i = jnp.sum(vr * ui - vi * ur)
+        # t2 = conj(tau) * s / 2
+        t2r = (tau_r * s_r + tau_i * s_i) * 0.5
+        t2i = (tau_r * s_i - tau_i * s_r) * 0.5
+        pr = ur - (t2r * vr - t2i * vi)
+        pi = ui - (t2r * vi + t2i * vr)
+        wr = tau_r * pr - tau_i * pi
+        wi = tau_r * pi + tau_i * pr
+        # (v w^H)_ij = v_i conj(w_j); (w v^H) = (v w^H)^H of the other term
+        ar = ar - (vr[:, None] * wr[None, :] + vi[:, None] * wi[None, :]
+                   + wr[:, None] * vr[None, :] + wi[:, None] * vi[None, :])
+        ai = ai - (vi[:, None] * wr[None, :] - vr[:, None] * wi[None, :]
+                   + wi[:, None] * vr[None, :] - wr[:, None] * vi[None, :])
+        e_k = jnp.where(active, beta, 0.0)
+        return (ar, ai), (e_k, vr, vi, tau_r, tau_i)
+
+    (ar, ai), (e, vr, vi, tau_r, tau_i) = jax.lax.scan(
+        step, (ar0, ai0), jnp.arange(n - 1))
+    d = jnp.diagonal(ar)
+    return d, e, C(vr, vi), C(tau_r, tau_i)
+
+
+def apply_q(vrows: C, tau: C, z: C) -> C:
+    """Apply Q = H_0 H_1 ... H_{n-2} (from tridiagonalize, where
+    T = Q^H A Q) to the columns of z (n, m): the eigenvector back-transform.
+    Each step is z <- z - tau_k v_k (v_k^H z), applied for k = n-2 .. 0."""
+
+    def step(zc, xs):
+        zr, zi = zc
+        vr, vi, tr, ti = xs
+        # y = v^H z (m,)
+        yr = _mm(vr, zr) + _mm(vi, zi)
+        yi = _mm(vr, zi) - _mm(vi, zr)
+        # z -= (tau v) y^T
+        cvr = tr * vr - ti * vi
+        cvi = tr * vi + ti * vr
+        zr = zr - (cvr[:, None] * yr[None, :] - cvi[:, None] * yi[None, :])
+        zi = zi - (cvr[:, None] * yi[None, :] + cvi[:, None] * yr[None, :])
+        return (zr, zi), None
+
+    xs = (vrows.re[::-1], vrows.im[::-1], tau.re[::-1], tau.im[::-1])
+    (zr, zi), _ = jax.lax.scan(step, (z.re, z.im), xs)
+    return C(zr, zi)
+
+
+def eigh_top_tridiag(h: C, keep: int):
+    """eigh_top via complex tridiagonalization: T = Q^H H Q real tridiagonal,
+    native real eigh at size n (vs 2n for the real embedding), eigenvectors
+    Q z_i back-transformed only for the kept columns. Orthonormality is
+    structural (Q unitary, z orthonormal), so no Gram-Schmidt pass is needed
+    even on exactly degenerate spectra (Bell/GHZ)."""
+    n = h.shape[-1]
+    d, e, vrows, tau = tridiagonalize(h)
+    t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
+    w, z = jnp.linalg.eigh(t)  # ascending
+    w = w[::-1][:keep]
+    zk = z[:, ::-1][:, :keep]
+    v = apply_q(vrows, tau, C(zk, jnp.zeros_like(zk)))  # (n, keep) columns
+    return w, C(v.re.T, v.im.T)
+
+
+# eigh_top implementation selector for svd_trunc: "embed" (real embedding +
+# greedy CGS2, the reference implementation), "tridiag" (half-size native
+# eigh via a lax.scan Householder pass), or "pallas" (same algorithm with
+# the sequential reflector loops fused into Pallas kernels; the TPU fast
+# path). Module-level so benchmarks can A/B via env; tests that flip it at
+# runtime must jax.clear_caches() (the jitted engine programs close over the
+# choice). Default stays "embed" until the TPU A/B is recorded.
+import os as _os
+
+EIGH_IMPL = _os.environ.get("ADAPTAQC_EIGH", "")
+
+
+def _eigh_impl() -> str:
+    return EIGH_IMPL or "embed"
+
+
 def svd_trunc(theta: C, chi_keep: int, threshold: float):
     """Truncated SVD of complex theta (m x n), top chi_keep singular values.
 
@@ -330,7 +465,17 @@ def svd_trunc(theta: C, chi_keep: int, threshold: float):
     """
     m, n = theta.shape
     h = theta.H @ theta  # (n, n) Hermitian PSD
-    w, vrows = eigh_top(h, chi_keep)  # descending; vrows[i] = eigenvector v_i
+    impl = _eigh_impl()
+    if impl == "pallas":
+        from . import pallas_eigh
+        if pallas_eigh.supported(n, theta.dtype):
+            w, vrows = pallas_eigh.eigh_top_pallas(h, chi_keep)
+        else:
+            w, vrows = eigh_top_tridiag(h, chi_keep)
+    elif impl == "tridiag":
+        w, vrows = eigh_top_tridiag(h, chi_keep)
+    else:
+        w, vrows = eigh_top(h, chi_keep)  # descending; vrows[i] = v_i
     s = jnp.sqrt(jnp.maximum(w, 0.0))
     keep = s > threshold
     s_k = jnp.where(keep, s, 0.0)

@@ -1,0 +1,205 @@
+"""Pallas TPU kernels: complex Householder tridiagonalization + eigenvector
+back-transform (the sequential halves of cplx.eigh_top_tridiag).
+
+The tridiagonalization is inherently sequential (each reflector depends on
+the updated matrix), so a pure-XLA lax.scan pays per-step kernel-dispatch
+latency ~127 times per 2q apply. These kernels keep the matrix VMEM-resident
+and run the whole reflector loop inside one kernel launch, all on the VPU in
+exact f32 (no MXU bf16 passes anywhere — reflector orthonormality needs
+~1e-6, see CLAUDE.md "TPU f32 matmuls default to bf16").
+
+Layout tricks (TPU has no cheap in-kernel vector transpose):
+- column k of the Hermitian work matrix is read as conj(row k) — a dynamic
+  SUBLANE slice, which Mosaic supports (dynamic lane indexing is not).
+- row->column vector relayout is a masked broadcast-reduce:
+  col_i = sum_j [i == j] row_j (one (n, n) VPU op).
+
+Combined with the native real eigh on the half-size tridiagonal T this
+replaces the 2n real-embedding eigh of cplx.eigh_top (the ~n^3.5 native
+Eigh call: 1.6 ms at 256 vs 0.11 ms at 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .cplx import C
+
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def supported(n: int, dtype) -> bool:
+    if dtype != jnp.float32 or n % 8 != 0 or n < 8:
+        return False
+    return 10 * n * n * 4 <= _VMEM_BUDGET
+
+
+def _row_to_col(row, n):
+    """(1, n) -> (n, 1) via masked broadcast-reduce (no transpose op)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.sum(jnp.where(r == c, row, 0.0), axis=1, keepdims=True)
+
+
+def _col_to_row(col, n):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.sum(jnp.where(r == c, col, 0.0), axis=0, keepdims=True)
+
+
+def _tridiag_kernel(hre, him, vrow_re, vrow_im, vcol_re, vcol_im, packed,
+                    ar, ai):
+    """packed rows: 0 = tau_re, 1 = tau_im, 2 = e (subdiag), 3 = d (diag)."""
+    n = hre.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
+
+    # Hermitize (the Gram inputs carry f32 asymmetry noise); the update
+    # preserves Hermiticity, which the column-as-conjugate-row read relies on
+    ar[:] = (hre[:] + hre[:].T) * 0.5
+    ai[:] = (him[:] - him[:].T) * 0.5
+    vrow_re[:] = jnp.zeros((n, n), jnp.float32)
+    vrow_im[:] = jnp.zeros((n, n), jnp.float32)
+    vcol_re[:] = jnp.zeros((n, n), jnp.float32)
+    vcol_im[:] = jnp.zeros((n, n), jnp.float32)
+    packed[:] = jnp.zeros((8, n), jnp.float32)
+
+    def body(k, _):
+        # column k of A as (1, n) rows: A[:, k] = conj(A[k, :])
+        colr = ar[pl.ds(k, 1), :]
+        coli = -ai[pl.ds(k, 1), :]
+        m2 = lane > k + 1
+        sel1 = (lane == k + 1).astype(jnp.float32)
+        alpha_r = jnp.sum(sel1 * colr)
+        alpha_i = jnp.sum(sel1 * coli)
+        xnorm2 = jnp.sum(jnp.where(m2, colr * colr + coli * coli, 0.0))
+        nrm = jnp.sqrt(alpha_r * alpha_r + alpha_i * alpha_i + xnorm2)
+        active = nrm > 0
+        inv = jnp.where(active, 1.0 / jnp.where(active, nrm, 1.0), 0.0)
+        ahr = alpha_r * inv
+        ahi = alpha_i * inv
+        bh = jnp.where(ahr >= 0, -1.0, 1.0)
+        beta = jnp.where(active, bh * nrm, 0.0)
+        tau_r = jnp.where(active, 1.0 - ahr * bh, 0.0)
+        tau_i = jnp.where(active, -ahi * bh, 0.0)
+        dr = ahr - bh
+        di = ahi
+        dn = dr * dr + di * di
+        sdn = jnp.where(active, dn, 1.0)
+        vr = jnp.where(m2, (colr * dr + coli * di) * inv / sdn, 0.0) + sel1
+        vi = jnp.where(m2, (coli * dr - colr * di) * inv / sdn, 0.0)
+
+        vrc = _row_to_col(vr, n)
+        vic = _row_to_col(vi, n)
+        # u = A v (lane-reduce against the row layout of v)
+        ur = jnp.sum(ar[:] * vr - ai[:] * vi, axis=1, keepdims=True)
+        ui = jnp.sum(ar[:] * vi + ai[:] * vr, axis=1, keepdims=True)
+        s_r = jnp.sum(vrc * ur + vic * ui)
+        s_i = jnp.sum(vrc * ui - vic * ur)
+        # w = tau (u - (conj(tau) s / 2) v)
+        t2r = (tau_r * s_r + tau_i * s_i) * 0.5
+        t2i = (tau_r * s_i - tau_i * s_r) * 0.5
+        pr = ur - (t2r * vrc - t2i * vic)
+        pi = ui - (t2r * vic + t2i * vrc)
+        wr = tau_r * pr - tau_i * pi
+        wi = tau_r * pi + tau_i * pr
+        wrr = _col_to_row(wr, n)
+        wir = _col_to_row(wi, n)
+        # A <- A - v w^H - w v^H
+        ar[:] = ar[:] - (vrc * wrr + vic * wir + wr * vr + wi * vi)
+        ai[:] = ai[:] - (vic * wrr - vrc * wir + wi * vr - wr * vi)
+
+        vrow_re[pl.ds(k, 1), :] = vr
+        vrow_im[pl.ds(k, 1), :] = vi
+        vcol_re[:] = jnp.where(colm == k, vrc, vcol_re[:])
+        vcol_im[:] = jnp.where(colm == k, vic, vcol_im[:])
+        upd = jnp.where(row8 == 0, tau_r,
+                        jnp.where(row8 == 1, tau_i, beta))
+        packed[:] = jnp.where((lane8 == k) & (row8 < 3), upd, packed[:])
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, body, 0)
+    d = jnp.sum(jnp.where(rowm == colm, ar[:], 0.0), axis=0, keepdims=True)
+    packed[:] = jnp.where(row8 == 3, d, packed[:])
+
+
+def _backtransform_kernel(vcol_re, vcol_im, packed, z, out_re, out_im):
+    """out = Q z = H_0 H_1 ... H_{n-2} z with H_k = I - tau_k v_k v_k^H."""
+    n = vcol_re.shape[0]
+    colm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_re[:] = z[:]
+    out_im[:] = jnp.zeros_like(z[:])
+
+    def body(i, _):
+        k = n - 2 - i
+        sel = (colm == k).astype(jnp.float32)
+        vrc = jnp.sum(vcol_re[:] * sel, axis=1, keepdims=True)
+        vic = jnp.sum(vcol_im[:] * sel, axis=1, keepdims=True)
+        lsel = (lane == k).astype(jnp.float32)
+        tau_r = jnp.sum(packed[0:1, :] * lsel)
+        tau_i = jnp.sum(packed[1:2, :] * lsel)
+        zr = out_re[:]
+        zi = out_im[:]
+        # y = v^H z (1, m) via sublane-reduce
+        yr = jnp.sum(vrc * zr + vic * zi, axis=0, keepdims=True)
+        yi = jnp.sum(vrc * zi - vic * zr, axis=0, keepdims=True)
+        cvr = tau_r * vrc - tau_i * vic
+        cvi = tau_r * vic + tau_i * vrc
+        out_re[:] = zr - (cvr * yr - cvi * yi)
+        out_im[:] = zi - (cvr * yi + cvi * yr)
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _tridiag_call(hre, him, interpret):
+    n = hre.shape[0]
+    shp = jax.ShapeDtypeStruct((n, n), jnp.float32)
+    return pl.pallas_call(
+        _tridiag_kernel,
+        out_shape=[shp, shp, shp, shp,
+                   jax.ShapeDtypeStruct((8, n), jnp.float32)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32) for _ in range(2)],
+        interpret=interpret,
+    )(hre, him)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _backtransform_call(vcol_re, vcol_im, packed, z, interpret):
+    n, m = z.shape
+    shp = jax.ShapeDtypeStruct((n, m), jnp.float32)
+    return pl.pallas_call(
+        _backtransform_kernel,
+        out_shape=[shp, shp],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=interpret,
+    )(vcol_re, vcol_im, packed, z)
+
+
+def eigh_top_pallas(h: C, keep: int, interpret: bool = False):
+    """cplx.eigh_top via the Pallas tridiagonalization kernels + the native
+    real eigh at size n. Same contract as cplx.eigh_top / eigh_top_tridiag:
+    (w descending (keep,), V rows C (keep, n))."""
+    n = h.shape[-1]
+    _, _, vcr, vci, packed = _tridiag_call(h.re, h.im, interpret)
+    d = packed[3]
+    e = packed[2, : n - 1]
+    t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
+    w, z = jnp.linalg.eigh(t)  # ascending
+    w = w[::-1][:keep]
+    zk = z[:, ::-1][:, :keep]
+    vr, vi = _backtransform_call(vcr, vci, packed, zk, interpret)
+    return w, C(vr.T, vi.T)
