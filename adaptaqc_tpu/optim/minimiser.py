@@ -420,11 +420,26 @@ class CostMinimiser:
         return result["fun"]
 
     def _nlopt_minimize(self, algorithm_identifier, stop_val, tol):
+        """cost_minimiser.py:108-142. When the nlopt package is absent the
+        reference raises; here string identifiers naming a bounded
+        derivative-free local algorithm ("LN_BOBYQA", or None) run on the
+        native optim.bobyqa implementation instead — a documented deviation,
+        logged, never a silent scipy substitution. Other identifiers raise
+        exactly like the reference."""
         try:
             import nlopt
         except ModuleNotFoundError:
-            logger.warning("NLOPT not installed; falling back to scipy COBYLA")
-            return self._scipy_minimize("COBYLA", tol, {})
+            if algorithm_identifier in (None, "LN_BOBYQA", "bobyqa"):
+                logger.info("nlopt not installed: running the native BOBYQA "
+                            "implementation (optim.bobyqa) for "
+                            f"identifier={algorithm_identifier!r}")
+                kw = {"rhoend": max(tol, 1e-10)}
+                if np.isfinite(stop_val):
+                    kw["stopval"] = stop_val
+                return self._pybobyqa_minimize(kw)
+            logger.error("NLOPT not installed and identifier "
+                         f"{algorithm_identifier!r} has no native equivalent")
+            raise
         initial = co.find_angles_in_circuit(self.full_circuit,
                                             self.variational_circuit_range())
         if len(initial) == 0:
@@ -443,23 +458,32 @@ class CostMinimiser:
         return opt.last_optimum_value()
 
     def _pybobyqa_minimize(self, alg_kwargs):
+        """cost_minimiser.py:160-193: BOBYQA over all variational angles
+        with [-pi, pi] bounds, objfun_has_noise, and restore-on-exception.
+        Uses the pybobyqa package when installed, otherwise the native
+        from-scratch implementation (optim.bobyqa) — the same algorithm, so
+        perform_final_minimisation and the use_roto_algos=False paths run a
+        REAL trust-region BOBYQA either way (no scipy substitution)."""
         initial = co.find_angles_in_circuit(self.full_circuit,
                                             self.variational_circuit_range())
         if len(initial) == 0:
             return self.cost_finder()
+        alg_kwargs = dict(alg_kwargs)
         try:
             import pybobyqa
+            solve = pybobyqa.solve
+            alg_kwargs.pop("stopval", None)  # native-impl extension only
         except ModuleNotFoundError:
-            logger.warning("PyBOBYQA not installed; falling back to scipy Powell")
-            alg_kwargs = {k: v for k, v in alg_kwargs.items()
-                          if k not in ("seek_global_minimum",)}
-            return self._scipy_minimize("Powell", 1e-8, alg_kwargs)
+            logger.info("pybobyqa not installed: using the native BOBYQA "
+                        "implementation (optim.bobyqa)")
+            from . import bobyqa
+            solve = bobyqa.solve
         bounds = ([-np.pi] * len(initial), [np.pi] * len(initial))
         try:
-            result = pybobyqa.solve(self._find_cost_with_angles, initial,
-                                    bounds=bounds, objfun_has_noise=True,
-                                    print_progress=False, do_logging=False,
-                                    **alg_kwargs)
+            result = solve(self._find_cost_with_angles, initial,
+                           bounds=bounds, objfun_has_noise=True,
+                           print_progress=False, do_logging=False,
+                           **alg_kwargs)
             co.update_angles_in_circuit(self.full_circuit, result.x,
                                         self.variational_circuit_range())
             self.compiler._invalidate_current()
