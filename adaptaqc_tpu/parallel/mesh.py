@@ -94,6 +94,42 @@ def shard_pairs(mesh: Mesh, pairs: np.ndarray, axis: str = "dp"):
                           NamedSharding(mesh, P(axis, None))), n_pairs
 
 
+def make_mps_training_step(mesh: Mesh, n: int, chi: int, padded_len: int,
+                           threshold: float = 0.0, rotoselect: bool = True):
+    """One jitted ADAPT optimisation step over the mesh for the MPS engine:
+    a Rotoselect sweep on the chi-sharded MPS (every chi^3 bond contraction
+    and Gram eigh partitions over the tp axis under GSPMD) followed by the
+    all-pair 2-site RDM scoring pass on the swept state — the per-layer
+    work the MPS compiler performs at 50q. The sharded path uses the
+    GSPMD-partitionable XLA scan engine (Pallas kernels and the incremental
+    env cache are single-device programs, backend.MPSBackend.sweep_engine).
+    """
+    from ..backends import mps_core
+    engine = mps_core.sweep_engine(threshold, allow_pallas=False,
+                                   allow_env_cache=False)
+    bl = sweeps.default_block_len(
+        padded_len, sweeps.state_nbytes(mps_core.zero_mps(n, chi)))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(prefix, kinds, q0, q1, angles, select):
+        ref = mps_core.zero_mps(n, chi, prefix.lam.dtype)
+        nk, na, cost, l_state, evals, _ov2 = sweeps.sweep(
+            engine, bl, rotoselect, prefix, ref, kinds, q0, q1, angles,
+            select)
+        rhos = mps_core.all_pair_rdms(l_state)  # C (n, n, 4, 4)
+        return nk, na, cost, l_state, rhos, evals
+
+    def run(prefix, tape, select):
+        prefix = shard_mps(mesh, prefix)
+        args = [jax.device_put(jnp.asarray(x), repl)
+                for x in (tape.kinds, tape.q0, tape.q1, tape.angles)]
+        select = jax.device_put(jnp.asarray(select), repl)
+        return step(prefix, *args, select)
+
+    return run
+
+
 def make_training_step(mesh: Mesh, n: int, padded_len: int,
                        rotoselect: bool = True):
     """One jitted ADAPT optimisation step over the mesh: a Rotoselect sweep

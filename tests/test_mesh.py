@@ -127,3 +127,84 @@ class TestShardedBackends:
         shard_shapes = {s.data.shape for s in state.re.addressable_shards}
         # 2^6 amplitudes over tp=4 -> 16 per shard
         assert shard_shapes == {(2 ** 6 // mesh8.shape["tp"],)}
+
+
+class TestMPSTrainingStep:
+    """VERDICT r1 item 5: the chi-sharded MPS path at real shapes — the tp
+    axis must actually partition the chi^3 sweep contractions, and the
+    sharded step must reproduce the unsharded engine."""
+
+    def test_mps_step_real_shape_matches_unsharded(self, mesh8):
+        import time
+        from adaptaqc_tpu.backends import mps_core
+
+        n, chi = 20, 32
+        tape = _random_tape(n, 12, seed=9)
+        prefix = mps_core.zero_mps(n, chi)
+        tp = mesh8.shape["tp"]
+
+        step = pmesh.make_mps_training_step(mesh8, n, chi,
+                                            tape.padded_length)
+        with mesh8:
+            t0 = time.time()
+            nk, na, cost, l_state, rhos, evals = step(prefix, tape,
+                                                      tape.trainable)
+            jax.block_until_ready((cost, rhos))
+            t_sharded = time.time() - t0
+
+        # the swept state's bond axis stays sharded chi/tp per device: the
+        # chi^3 contractions were partitioned, not gathered to one chip
+        shard_shapes = {s.data.shape
+                        for s in l_state.b.re.addressable_shards}
+        assert shard_shapes == {(n, 2, chi, chi // tp)}
+
+        engine = mps_core.sweep_engine(0.0, allow_pallas=False,
+                                       allow_env_cache=False)
+        bl = sweeps.default_block_len(tape.padded_length)
+        ref = mps_core.zero_mps(n, chi)
+        t0 = time.time()
+        nk0, na0, cost0, l0, _, _ = sweeps.sweep(
+            engine, bl, True, mps_core.zero_mps(n, chi), ref,
+            jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+            jnp.asarray(tape.trainable))
+        rhos0 = mps_core.all_pair_rdms(l0)
+        jax.block_until_ready((cost0, rhos0))
+        t_single = time.time() - t0
+        print(f"\nMPS step n={n} chi={chi}: sharded(tp={tp}) {t_sharded:.2f}s"
+              f" vs single-device {t_single:.2f}s (virtual CPU devices - "
+              "wall time is not a TPU speedup claim)")
+
+        assert float(cost) == pytest.approx(float(cost0), abs=1e-6)
+        assert np.allclose(cplx.to_np(rhos), cplx.to_np(rhos0), atol=1e-6)
+        same = np.asarray(nk) == np.asarray(nk0)
+        assert same.mean() > 0.8
+
+    def test_mps_step_program_contains_collectives(self, mesh8):
+        """The lowered GSPMD program must contain cross-device collectives:
+        proof the tp axis partitions the contractions instead of
+        replicating them."""
+        from adaptaqc_tpu.backends import mps_core
+
+        n, chi = 6, 16
+        tape = _random_tape(n, 4, seed=2)
+        engine = mps_core.sweep_engine(0.0, allow_pallas=False,
+                                       allow_env_cache=False)
+        bl = sweeps.default_block_len(tape.padded_length)
+
+        def fn(prefix, kinds, q0, q1, angles, select):
+            ref = mps_core.zero_mps(n, chi)
+            return sweeps.sweep(engine, bl, True, prefix, ref, kinds, q0,
+                                q1, angles, select)[2]
+
+        prefix = pmesh.shard_mps(mesh8, mps_core.zero_mps(n, chi))
+        with mesh8:
+            lowered = jax.jit(fn).lower(
+                prefix, jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+                jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+                jnp.asarray(tape.trainable))
+            compiled = lowered.compile()
+        hlo = compiled.as_text()
+        assert any(op in hlo for op in
+                   ("all-reduce", "all-gather", "collective-permute",
+                    "reduce-scatter")), "no collectives: program replicated"
