@@ -62,10 +62,11 @@ def _tridiag_kernel(hre, him, vrow_re, vrow_im, vcol_re, vcol_im, packed,
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 1)
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, n), 0)
 
-    # Hermitize (the Gram inputs carry f32 asymmetry noise); the update
-    # preserves Hermiticity, which the column-as-conjugate-row read relies on
-    ar[:] = (hre[:] + hre[:].T) * 0.5
-    ai[:] = (him[:] - him[:].T) * 0.5
+    # inputs are pre-Hermitized by the caller (in-kernel transpose is a
+    # Mosaic relayout risk); the update preserves Hermiticity, which the
+    # column-as-conjugate-row read relies on
+    ar[:] = hre[:]
+    ai[:] = him[:]
     vrow_re[:] = jnp.zeros((n, n), jnp.float32)
     vrow_im[:] = jnp.zeros((n, n), jnp.float32)
     vcol_re[:] = jnp.zeros((n, n), jnp.float32)
@@ -194,7 +195,9 @@ def eigh_top_pallas(h: C, keep: int, interpret: bool = False):
     real eigh at size n. Same contract as cplx.eigh_top / eigh_top_tridiag:
     (w descending (keep,), V rows C (keep, n))."""
     n = h.shape[-1]
-    _, _, vcr, vci, packed = _tridiag_call(h.re, h.im, interpret)
+    hre = (h.re + h.re.T) * 0.5
+    him = (h.im - h.im.T) * 0.5
+    _, _, vcr, vci, packed = _tridiag_call(hre, him, interpret)
     d = packed[3]
     e = packed[2, : n - 1]
     t = jnp.diag(d) + jnp.diag(e, 1) + jnp.diag(e, -1)
