@@ -118,11 +118,20 @@ class SVBackend(AQCBackend):
 
     # ----------------------------------------------------------- cost layer
     def evaluate_global_cost(self, compiler):
-        if compiler.soften_global_cost:
-            raise NotImplementedError(
-                "soften_global_cost is currently only implemented for MPSBackend")
         state = self.state_of(compiler)
-        return float(sv_core.global_cost(state))
+        if not compiler.soften_global_cost:
+            return float(sv_core.global_cost(state))
+        # Deviation from the reference (aer_sv_backend.py raises here): the
+        # hamming-1 softening terms are directly computable on a
+        # statevector, and the full-cost device sweep already optimises
+        # them on this engine, so the host cost layer matches it.
+        previous_cost = (compiler.global_cost_history[-1]
+                         if len(compiler.global_cost_history) > 0 else 1)
+        alpha = abs(previous_cost - compiler.adapt_config.sufficient_cost)
+        n = compiler.full_circuit.num_qubits
+        g, _loc, h1 = sv_core.full_cost_terms(state, sv_core.zero_state(
+            n, state.dtype))
+        return float(g) - alpha * float(h1)
 
     def evaluate_local_cost(self, compiler):
         e_vals = self.measure_qubit_expectation_values(compiler)

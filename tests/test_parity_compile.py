@@ -279,3 +279,47 @@ def test_multiple_measurements_preserved():
     measures = [i for i in result.circuit.data if i.name == "measure"]
     assert len(measures) == 2
     assert {(m.qubits[0], m.clbits[0]) for m in measures} == {(0, 0), (2, 1)}
+
+
+def test_soften_global_cost_sv_backend_compiles():
+    """Documented DEVIATION from the reference: softening on the SV backend
+    raises in the reference (test_given_soften_global_cost_and_aer_sv_
+    backend_then_error — Aer SV has no hamming-1 machinery), but the
+    full-cost device sweep computes the softened cost generically for both
+    engines here, so it simply works."""
+    from adaptaqc_tpu.backends.backend import SVBackend
+    qc = co.create_random_initial_state_circuit(3, seed=2)
+    compiler = AdaptCompiler(qc, backend=SVBackend(),
+                             soften_global_cost=True)
+    result = compiler.compile()
+    assert result.overlap > 0.99
+
+
+def test_float_cost_improvement_num_layers_no_error():
+    """test_given_compiler_when_float_cost_improvement_num_layers_then
+    _no_error."""
+    from adaptaqc_tpu import AdaptConfig
+    qc = co.create_random_initial_state_circuit(2, seed=4)
+    cfg = AdaptConfig(cost_improvement_num_layers=2.5)
+    result = AdaptCompiler(qc, adapt_config=cfg).compile()
+    assert result.overlap > 0.99
+
+
+def test_rotosolve_fraction_results_reproducible():
+    """test_given_rotosolve_fraction_then_results_reproducible: the
+    per-cycle gate subsample is drawn from the stdlib random module, so
+    seeding it reproduces the full trajectory."""
+    import random as stdlib_random
+    qc = co.create_random_initial_state_circuit(3, seed=9)
+
+    def run():
+        stdlib_random.seed(42)
+        np.random.seed(42)
+        comp = AdaptCompiler(qc, backend=MPSBackend(),
+                             rotosolve_fraction=0.5)
+        return comp.compile()
+
+    r1, r2 = run(), run()
+    assert r1.overlap == r2.overlap
+    assert r1.qubit_pair_history == r2.qubit_pair_history
+    assert r1.circuit_qasm == r2.circuit_qasm
