@@ -1,0 +1,92 @@
+"""Infer the paper's fig5 XXZ anisotropy by matching TDVP.
+
+The reference ships the paper's TDVP staggered-magnetisation timeseries
+(paper/fig5/tdvp_neel_sm_timeseries.csv: SM(0) = -0.5, i.e. perfect Neel
+under the (1/2n) sum_i (-1)^i <Z_i> convention) but not the Hamiltonian
+parameters. Two exact observations reduce the fit to ONE parameter:
+
+- a uniform field h sum_i Z_i commutes with the XXZ couplings (XX+YY hops
+  conserve total Z) and with every Z_i measurement, so it cannot affect
+  SM(t) at all;
+- the overall sign of H flips psi to its complex conjugate for this real
+  Hamiltonian/initial state, leaving <Z_i>(t) unchanged.
+
+So SM(t) depends only on the anisotropy delta in
+H = sum_i (X_i X_{i+1} + Y_i Y_{i+1} + delta Z_i Z_{i+1}) (+ any h field).
+This script simulates n=50 fine-step Trotter dynamics from Neel with the
+framework's MPS engine for a grid of delta and reports the RMS mismatch to
+the TDVP curve. Run on CPU or TPU.
+
+Usage: python benchmarks/fit_fig5_hamiltonian.py [t_max] [dt]
+"""
+
+import csv
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FIG5 = "/root/reference/paper/fig5/tdvp_neel_sm_timeseries.csv"
+
+
+def load_tdvp():
+    ts, sms = [], []
+    with open(FIG5) as f:
+        for row in csv.DictReader(f):
+            ts.append(float(row["t"]))
+            sms.append(float(row["staggered_magnetisation"]))
+    return np.asarray(ts), np.asarray(sms)
+
+
+def sm_trajectory(n, delta, t_max, dt, chi=64):
+    """Paper-convention SM at each Trotter step: -(1/2n) of our
+    X-on-odd-sites Neel (their Neel is the spin-flipped one; SM(0) = -0.5)."""
+    import jax.numpy as jnp
+    from spin_chain import neel_circuit, trotter_circuit
+    from adaptaqc_tpu.circuits import operations as co
+    from adaptaqc_tpu.circuits.tape import compile_tape
+    from adaptaqc_tpu.backends import mps_core
+
+    steps = int(round(t_max / dt))
+    prep = neel_circuit(n)
+    tape_prep = compile_tape(prep)
+    state = mps_core.apply_tape(
+        mps_core.zero_mps(n, chi), jnp.asarray(tape_prep.kinds),
+        jnp.asarray(tape_prep.q0), jnp.asarray(tape_prep.q1),
+        jnp.asarray(tape_prep.angles), 1e-16)
+    one = trotter_circuit(n, 1, dt, delta=delta, h=0.0)
+    tape = compile_tape(one)
+    args = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles))
+    out = []
+    for _ in range(steps):
+        state = mps_core.apply_tape(state, *args, 1e-16)
+        z = np.asarray(mps_core.z_expectations(state))
+        nrm2 = float(mps_core.mps_dot(state, state).re)
+        signs = (-1.0) ** np.arange(n)
+        out.append(-0.5 * float(np.mean(signs * z) / max(nrm2, 1e-30)))
+    return np.arange(1, steps + 1) * dt, np.asarray(out)
+
+
+def main():
+    t_max = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    dt = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+    ts_ref, sm_ref = load_tdvp()
+    n = 50
+    results = []
+    for delta in (0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0):
+        ts, sm = sm_trajectory(n, delta, t_max, dt)
+        ref = np.interp(ts, ts_ref, sm_ref)
+        rms = float(np.sqrt(np.mean((sm - ref) ** 2)))
+        results.append((delta, rms))
+        print(f"delta={delta:4.1f}  rms={rms:.5f}  "
+              f"sm(t={t_max})={sm[-1]:+.4f} vs tdvp {ref[-1]:+.4f}",
+              flush=True)
+    best = min(results, key=lambda r: r[1])
+    print(f"BEST delta = {best[0]} (rms {best[1]:.5f})")
+
+
+if __name__ == "__main__":
+    main()
