@@ -125,8 +125,11 @@ class SVBackend(AQCBackend):
         # hamming-1 softening terms are directly computable on a
         # statevector, and the full-cost device sweep already optimises
         # them on this engine, so the host cost layer matches it.
-        previous_cost = (compiler.global_cost_history[-1]
-                         if len(compiler.global_cost_history) > 0 else 1)
+        # history only exists once compile() starts (reference parity:
+        # adapt_compiler.py:284 initialises it there too) — a pre-compile
+        # evaluate_cost() behaves as a first evaluation
+        history = getattr(compiler, "global_cost_history", [])
+        previous_cost = history[-1] if history else 1
         alpha = abs(previous_cost - compiler.adapt_config.sufficient_cost)
         n = compiler.full_circuit.num_qubits
         g, _loc, h1 = sv_core.full_cost_terms(state, sv_core.zero_state(
@@ -291,8 +294,8 @@ class MPSBackend(AQCBackend):
         # One fused device program: per-call relay sync is ~33-70 ms.
         if not compiler.soften_global_cost:
             return float(mps_core.global_cost_normalized(state))
-        previous_cost = (compiler.global_cost_history[-1]
-                         if len(compiler.global_cost_history) > 0 else 1)
+        history = getattr(compiler, "global_cost_history", [])
+        previous_cost = history[-1] if history else 1
         alpha = abs(previous_cost - compiler.adapt_config.sufficient_cost)
         cost, h1_sum = mps_core.softened_cost_terms(state)
         return float(cost) - alpha * float(h1_sum)

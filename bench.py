@@ -256,7 +256,7 @@ def main():
     evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
         n, chi, window_layers, iters)
 
-    extras = {}
+    extras = {"eigh_impl": os.environ.get("ADAPTAQC_EIGH") or "embed"}
     if flops:
         achieved = flops / dt
         extras["flops_per_sweep"] = round(flops)
@@ -295,15 +295,54 @@ def main():
         vs_baseline = None
 
     unit = "equivalent cost evaluations / second (n=%d, chi=%d)" % (n, chi)
-    if os.environ.get("BENCH_TUNNEL_FALLBACK"):
+    fallback = bool(os.environ.get("BENCH_TUNNEL_FALLBACK"))
+    if fallback:
         unit += " [CPU FALLBACK - TPU tunnel down at bench time]"
-    print(json.dumps({
+        last = _last_tpu_record()
+        if last:
+            # context only, clearly labeled: the most recent REAL-TPU run of
+            # this same benchmark (recorded whenever bench.py runs on-device)
+            extras["last_recorded_tpu_evals_per_sec"] = last["value"]
+            extras["last_recorded_tpu_build"] = last.get("build")
+            extras["last_recorded_tpu_utc"] = last.get("utc")
+    record = {
         "metric": "overlap_cost_evals_per_sec_50q_mps",
         "value": round(evals_per_sec, 1),
         "unit": unit,
         "vs_baseline": vs_baseline,
         **extras,
-    }))
+    }
+    if not fallback and "TPU" in device.device_kind.upper():
+        _append_tpu_record(record, device.device_kind)
+    print(json.dumps(record))
+
+
+TPU_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "tpu_bench_history.jsonl")
+
+
+def _last_tpu_record():
+    try:
+        with open(TPU_HISTORY) as f:
+            lines = [l for l in f.read().splitlines() if l.strip()]
+        return json.loads(lines[-1]) if lines else None
+    except (OSError, ValueError):
+        return None
+
+
+def _append_tpu_record(record, device_kind):
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        entry = dict(record)
+        entry["build"] = rev.stdout.strip() or None
+        entry["device_kind"] = device_kind
+        entry["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(TPU_HISTORY, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError as e:
+        log(f"bench: could not append TPU history: {e}")
 
 
 if __name__ == "__main__":

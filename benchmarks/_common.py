@@ -27,6 +27,16 @@ def git_rev():
         return None
 
 
+def platform():
+    """Which jax backend produced a record ("cpu" during tunnel outages,
+    "axon"/"tpu" on the real chip). Never raises."""
+    try:
+        import jax
+        return jax.default_backend()
+    except Exception:
+        return None
+
+
 def save_circuit(result, name_prefix):
     """Persist the compiled circuit (QASM already rendered on the result —
     adapt_compiler stores result.circuit_qasm at compile end) so any record

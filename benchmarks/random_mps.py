@@ -26,7 +26,8 @@ REFERENCE_TARGETS = "/root/reference/paper/random_mps"
 
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import git_rev as _git_rev, save_circuit as _save_circuit
+from _common import (git_rev as _git_rev, platform as _platform,
+                     save_circuit as _save_circuit)
 
 
 def load_target(seed: int):
@@ -186,6 +187,7 @@ def main():
             "sufficient_cost": float(os.environ.get("RMPS_SUFF", 1e-2)),
             "circuit": circ_path,
             "build": _git_rev(),
+            "platform": _platform(),
         }
         print(f"seed {seed}: overlap={result.overlap:.4f} "
               f"(chi64 check {overlap64:.4f}) layers={layers} "

@@ -24,7 +24,8 @@ logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import git_rev as _git_rev, save_circuit as _save_circuit
+from _common import (git_rev as _git_rev, platform as _platform,
+                     save_circuit as _save_circuit)
 from random_mps import independent_overlap, load_target
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -100,6 +101,7 @@ def refine(seed):
         "refined_from_overlap": prev_ov,
         "circuit": saved,
         "build": _git_rev(),
+        "platform": _platform(),
     }
     print(f"seed {seed}: refined {prev_ov:.4f} -> overlap="
           f"{result.overlap:.4f} (chi64 check {overlap64:.4f}) "

@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import git_rev as _git_rev, save_circuit as _save_circuit
+from _common import (git_rev as _git_rev, platform as _platform,
+                     save_circuit as _save_circuit)
 
 logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
@@ -80,8 +81,13 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     dt = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
 
+    # XXZ parameters: overridable to match the paper's (unpublished)
+    # Hamiltonian — benchmarks/fit_fig5_hamiltonian.py infers the anisotropy
+    # from the shipped TDVP staggered-magnetisation timeseries
+    delta = float(os.environ.get("SPIN_DELTA", 1.5))
+    hfield = float(os.environ.get("SPIN_H", 1.0))
     prep = neel_circuit(n)
-    evolution = trotter_circuit(n, steps, dt)
+    evolution = trotter_circuit(n, steps, dt, delta=delta, h=hfield)
     target = prep.copy()
     from adaptaqc_tpu.circuits import operations as co
     co.add_to_circuit(target, evolution)
@@ -120,7 +126,7 @@ def main():
     if parts_mode:
         # block depth = one Trotter step (prep X-gates fold into the first
         # block; division is by all-gate depth)
-        step_depth = trotter_circuit(n, 1, dt).depth()
+        step_depth = trotter_circuit(n, 1, dt, delta=delta, h=hfield).depth()
         result = compiler.compile_in_parts(max_depth_per_block=step_depth)
         result.qubit_pair_history = [
             p for r in result.individual_results for p in r.qubit_pair_history]
@@ -149,6 +155,8 @@ def main():
         print(f"staggered-magnetisation check failed: {exc}", file=sys.stderr)
     record = {
         "workload": f"xxz_trotter_n{n}_steps{steps}_dt{dt}",
+        "delta": delta,
+        "h": hfield,
         "overlap": round(result.overlap, 4),
         "layers": len(result.qubit_pair_history),
         "solution_2q_gates": sol_2q,
@@ -166,6 +174,7 @@ def main():
         "sm_solution": None if sm_sol is None else round(sm_sol, 4),
         "circuit": circ_path,
         "build": _git_rev(),
+        "platform": _platform(),
     }
     print(json.dumps(record), flush=True)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -81,6 +81,11 @@ def spin_chain_summary():
 
 
 def main():
+    if "--converged-seed" in sys.argv:
+        # queue helper: exit 0 iff the seed already has a strict >0.99
+        # record (single criterion, same code path as the tally)
+        s = int(sys.argv[sys.argv.index("--converged-seed") + 1])
+        sys.exit(0 if s in random_mps_summary()["converged"] else 1)
     rm = random_mps_summary()
     sc = spin_chain_summary()
     if "--markdown" in sys.argv:

@@ -138,11 +138,20 @@ class TestSofteningGates:
             softened.backend.evaluate_global_cost(softened)
             mock.assert_called_once()
 
-    def test_sv_backend_rejects_softening(self):
-        compiler = AdaptCompiler(_bell_plus_spectator(), backend=SVBackend(),
-                                 soften_global_cost=True)
-        with pytest.raises(NotImplementedError):
-            compiler.evaluate_cost()
+    def test_sv_backend_softening_matches_mps(self):
+        # Deviation from the reference (aer_sv_backend.py raises
+        # NotImplementedError): hamming-1 softening is directly computable
+        # on a statevector, pinned here to the MPS engine's semantics and
+        # to the closed form g - alpha*h1 (backend.py evaluate_global_cost;
+        # pre-compile, previous_cost defaults to 1 so alpha = 1 - 1e-2)
+        qc = Circuit(2)
+        qc.ry(0.6, 0)
+        sv = AdaptCompiler(qc, backend=SVBackend(), soften_global_cost=True)
+        mps = AdaptCompiler(qc, backend=MPSBackend(), soften_global_cost=True)
+        s, m = sv.evaluate_cost(), mps.evaluate_cost()
+        expected = (1 - 0.99) * np.sin(0.3) ** 2
+        assert abs(s - m) < 1e-6
+        assert abs(s - expected) < 1e-6
 
 
 class TestSamplingInteractions:
