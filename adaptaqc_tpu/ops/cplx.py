@@ -440,16 +440,51 @@ def eigh_top_tridiag(h: C, keep: int):
 # greedy CGS2, the reference implementation), "tridiag" (half-size native
 # eigh via a lax.scan Householder pass), or "pallas" (same algorithm with
 # the sequential reflector loops fused into Pallas kernels; the TPU fast
-# path). Module-level so benchmarks can A/B via env; tests that flip it at
-# runtime must jax.clear_caches() (the jitted engine programs close over the
-# choice). Default stays "embed" until the TPU A/B is recorded.
+# path). Read from the environment at TRACE time (not import time), so
+# setting ADAPTAQC_EIGH after import works; already-jitted engine programs
+# still close over the value they traced with — use set_eigh_impl() (or
+# jax.clear_caches()) to flip it mid-process.
+#
+# Default is "pallas" on TPU since the 2026-08-19 on-device A/B
+# (benchmarks/eigh_ab.py, tpu_bench_history.jsonl): n=50 chi=64 Rotoselect
+# sweep 45.6 ms/sweep (15,358 evals/s) vs embed's 84.7 ms (8,269 evals/s).
+# Off-TPU (or at unsupported shapes) "pallas" resolves to "embed", which
+# beat "tridiag" on device (104.5 ms) — the pure-JAX Householder scan pays
+# ~2(n-1) sequential dispatch steps that the fused kernel amortises.
 import os as _os
 
-EIGH_IMPL = _os.environ.get("ADAPTAQC_EIGH", "")
+EIGH_IMPL = ""  # programmatic override; wins over the environment
 
 
 def _eigh_impl() -> str:
-    return EIGH_IMPL or "embed"
+    return EIGH_IMPL or _os.environ.get("ADAPTAQC_EIGH", "") or "pallas"
+
+
+def _pallas_platform_ok() -> bool:
+    """Pallas TPU kernels only lower on tpu/axon backends (interpret mode
+    is for tests). Platform is static at trace time."""
+    if _os.environ.get("ADAPTAQC_NO_PALLAS"):
+        return False
+    try:
+        import jax as _jax
+        dev = _jax.devices()[0]
+        return dev.platform in ("tpu", "axon") or \
+            str(getattr(dev, "device_kind", "")).startswith("TPU")
+    except Exception:
+        return False
+
+
+def set_eigh_impl(impl: str):
+    """Flip the eigh implementation at runtime ('' = environment/default).
+
+    Clears jit caches: compiled engine programs baked in the previous
+    choice and would otherwise silently keep using it."""
+    global EIGH_IMPL
+    if impl not in ("", "embed", "tridiag", "pallas"):
+        raise ValueError(f"unknown eigh impl {impl!r}")
+    EIGH_IMPL = impl
+    import jax
+    jax.clear_caches()
 
 
 def svd_trunc(theta: C, chi_keep: int, threshold: float):
@@ -468,10 +503,11 @@ def svd_trunc(theta: C, chi_keep: int, threshold: float):
     impl = _eigh_impl()
     if impl == "pallas":
         from . import pallas_eigh
-        if pallas_eigh.supported(n, theta.dtype):
+        if pallas_eigh.supported(n, theta.dtype) and _pallas_platform_ok():
             w, vrows = pallas_eigh.eigh_top_pallas(h, chi_keep)
         else:
-            w, vrows = eigh_top_tridiag(h, chi_keep)
+            # embed, not tridiag: the on-device A/B put tridiag behind both
+            w, vrows = eigh_top(h, chi_keep)
     elif impl == "tridiag":
         w, vrows = eigh_top_tridiag(h, chi_keep)
     else:
