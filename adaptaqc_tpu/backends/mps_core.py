@@ -342,11 +342,16 @@ def hamming1_overlaps(state: MPS):
 
 def z_expectations(state: MPS):
     """<Z_i> for every site using the canonical-form environments
-    (mps_operations.mps_expectation analogue)."""
+    (mps_operations.mps_expectation analogue).
+
+    Per-site self-normalised: w0+w1 at each site equals <psi|psi>, so
+    (w0-w1)/(w0+w1) is the expectation of the NORMALISED state — invariant
+    under the documented f32 scale drift (norm^2 up to 1.18 at n=50
+    chi=128; docs/tpu_design_notes.md f32 item 4)."""
     bs = b_tensors(state)
     lam2 = state.lam[:-1] ** 2  # (n, chi)
     w = jnp.einsum("ia,ipab->ip", lam2, bs.abs2())
-    return w[:, 0] - w[:, 1]
+    return (w[:, 0] - w[:, 1]) / jnp.maximum(w[:, 0] + w[:, 1], 1e-30)
 
 
 def full_cost_terms(state: MPS, ref: MPS):

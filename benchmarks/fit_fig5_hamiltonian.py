@@ -64,10 +64,10 @@ def sm_trajectory(n, delta, t_max, dt, chi=64):
     out = []
     for _ in range(steps):
         state = mps_core.apply_tape(state, *args, 1e-16)
+        # z_expectations is now per-site self-normalised (mps_core)
         z = np.asarray(mps_core.z_expectations(state))
-        nrm2 = float(mps_core.mps_dot(state, state).re)
         signs = (-1.0) ** np.arange(n)
-        out.append(-0.5 * float(np.mean(signs * z) / max(nrm2, 1e-30)))
+        out.append(-0.5 * float(np.mean(signs * z)))
     return np.arange(1, steps + 1) * dt, np.asarray(out)
 
 

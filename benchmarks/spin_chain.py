@@ -66,10 +66,10 @@ def staggered_magnetisation(circuit, chi=64):
         mps_core.zero_mps(qc.num_qubits, chi), jnp.asarray(tape.kinds),
         jnp.asarray(tape.q0), jnp.asarray(tape.q1),
         jnp.asarray(tape.angles), 1e-16)
+    # z_expectations is per-site self-normalised (mps_core)
     z = np.asarray(mps_core.z_expectations(state))
-    nrm2 = float(mps_core.mps_dot(state, state).re)
     signs = (-1.0) ** np.arange(qc.num_qubits)
-    return float(np.mean(signs * z) / max(nrm2, 1e-30))
+    return float(np.mean(signs * z))
 
 
 def main():
@@ -124,10 +124,16 @@ def main():
         starting_circuit=prep)
     t0 = time.time()
     if parts_mode:
-        # block depth = one Trotter step (prep X-gates fold into the first
-        # block; division is by all-gate depth)
+        # block depth defaults to one Trotter step (prep X-gates fold into
+        # the first block; division is by all-gate depth). SPIN_BLOCK_DEPTH
+        # overrides: a 2-step ladder at full-step blocks still cold-starts
+        # part 1 at overlap ~1e-6 (measured 2026-08-19: part 1 capped at
+        # ~5e-3 after 290 layers), whereas one brick SUBLAYER per block is a
+        # single parallel layer of commuting bond gates — each part then
+        # starts from the carried solution at O(0.1-0.5) overlap.
         step_depth = trotter_circuit(n, 1, dt, delta=delta, h=hfield).depth()
-        result = compiler.compile_in_parts(max_depth_per_block=step_depth)
+        block_depth = int(os.environ.get("SPIN_BLOCK_DEPTH", step_depth))
+        result = compiler.compile_in_parts(max_depth_per_block=block_depth)
         result.qubit_pair_history = [
             p for r in result.individual_results for p in r.qubit_pair_history]
         result.cost_evaluations = sum(
