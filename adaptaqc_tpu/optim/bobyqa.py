@@ -199,7 +199,10 @@ def solve(objfun: Callable[[np.ndarray], float],
         x, f, nf = _solve_once(objfun, xstart, lower, upper, rhobeg, rhoend,
                                maxfun - nf_total, print_progress, stopval)
         nf_total += nf
-        if f < best_f:
+        # seed unconditionally on the first pass: if objfun returns NaN for
+        # every evaluation, `f < best_f` never fires and Result.x would be
+        # None (opaque crash downstream in update_angles_in_circuit)
+        if best_x is None or f < best_f:
             best_x, best_f = x, f
         if stopval is not None and best_f <= stopval:
             msg = "stopval reached"
