@@ -32,7 +32,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 RESULTS = os.path.join(HERE, "results_random_mps.jsonl")
 
 
-def best_saved_circuit(seed):
+def best_saved_circuit(seed, source="reference paper target"):
     """(circuit_path, recorded_overlap) of the seed's best recorded run that
     saved its compiled circuit."""
     best = None
@@ -40,7 +40,7 @@ def best_saved_circuit(seed):
         for line in f:
             r = json.loads(line)
             if (r.get("seed") == seed and r.get("circuit")
-                    and r.get("source") == "reference paper target"):
+                    and r.get("source") == source):
                 ov = max(r.get("overlap") or 0.0,
                          r.get("overlap_chi64_check") or 0.0)
                 if best is None or ov > best[1]:
@@ -60,11 +60,20 @@ def refine(seed):
     chi = int(os.environ.get("REFINE_CHI", 64))
     extra_layers = int(os.environ.get("REFINE_LAYERS", 300))
     sufficient = float(os.environ.get("REFINE_SUFF", 8e-3))
+    # REFINE_N: refine a synthetic scale-demonstration record (e.g. the
+    # n=100 run) instead of a reference paper target
+    n_override = int(os.environ.get("REFINE_N", 0))
 
-    circ_rel, prev_ov = best_saved_circuit(seed)
+    if n_override:
+        from random_mps import random_target
+        circ_rel, prev_ov = best_saved_circuit(
+            seed, source=f"synthetic n={n_override}")
+        qmps = random_target(seed, n=n_override)
+    else:
+        circ_rel, prev_ov = best_saved_circuit(seed)
+        qmps = load_target(seed)
     with gzip.open(os.path.join(HERE, circ_rel), "rt") as f:
         ansatz = make_quantum_only_circuit(qasm.loads(f.read()))
-    qmps = load_target(seed)
     n = len(qmps[0])
 
     config = AdaptConfig(method="general_gradient",
@@ -85,7 +94,8 @@ def refine(seed):
     saved = _save_circuit(result, f"seed_{seed}_refined")
     record = {
         "seed": seed,
-        "source": "reference paper target",
+        "source": (f"synthetic n={n_override}" if n_override
+                   else "reference paper target"),
         "n_qubits": n,
         "overlap": round(result.overlap, 4),
         "overlap_chi64_check": round(overlap64, 4),
