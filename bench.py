@@ -26,6 +26,7 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -242,6 +243,64 @@ def main():
     chi = int(os.environ.get("BENCH_CHI", 64))
     window_layers = int(os.environ.get("BENCH_LAYERS", 12))
 
+    def _descendants(pid):
+        out = []
+        try:
+            import glob as _glob
+            for child_file in _glob.glob(f"/proc/{pid}/task/*/children"):
+                with open(child_file) as f:
+                    for c in f.read().split():
+                        c = int(c)
+                        out.append(c)
+                        out.extend(_descendants(c))
+        except OSError:
+            pass
+        return out
+
+    def _ancestors():
+        """PIDs on the chain from this process up to init (via /proc stat),
+        so a bench launched FROM a queue never stops its own parents."""
+        chain, pid = set(), os.getpid()
+        while pid > 1:
+            chain.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    pid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                break
+        return chain
+
+    def _pause_queue_jobs():
+        """SIGSTOP every descendant of the benchmark queues (exact PIDs from
+        the pid files + /proc children — never pattern-matched) so the
+        measurement owns the core and the device. Resumed in finally."""
+        paused = []
+        skip = _ancestors()
+        for pidfile in ("/tmp/seed_queue.pid", "/tmp/cpu_seed_queue.pid"):
+            try:
+                with open(pidfile) as f:
+                    root_pid = int(f.read().strip())
+            except (OSError, ValueError):
+                continue
+            for pid in _descendants(root_pid):
+                if pid in skip:
+                    continue
+                try:
+                    os.kill(pid, signal.SIGSTOP)
+                    paused.append(pid)
+                except (OSError, ProcessLookupError):
+                    pass
+        if paused:
+            log(f"bench: paused queue jobs {paused} for the measurement")
+        return paused
+
+    def _resume_queue_jobs(paused):
+        for pid in reversed(paused):
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except (OSError, ProcessLookupError):
+                pass
+
     if os.environ.get("BENCH_BASELINE_WORKER"):
         jax.config.update("jax_platforms", "cpu")
         evals_per_sec, _, _, _ = run_sweep_benchmark(n, chi, window_layers,
@@ -254,16 +313,22 @@ def main():
     log(f"bench: n={n} chi={chi} devices={jax.devices()}")
 
     # Measurement hygiene on a ONE-core host (VERDICT r2 weak #1): hold a
-    # lockfile that benchmarks/cpu_seed_queue.sh pauses on, and record the
-    # load average so a contended measurement is self-labeling.
+    # lockfile that benchmarks/cpu_seed_queue.sh pauses on (and
+    # seed_queue.sh pauses on at job boundaries), SIGSTOP any in-flight
+    # queue job for the duration (both queues' jobs otherwise contend for
+    # the single core and the TPU and contaminate the measurement — the
+    # BENCH_r02 0.37x regression was exactly this failure mode), and record
+    # the load average so a contended measurement is still self-labeling.
     load_before = os.getloadavg()
     lock = "/tmp/adaptaqc_bench.lock"
     with open(lock, "w") as f:
         f.write(str(os.getpid()))
+    paused = _pause_queue_jobs()
     try:
         evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
             n, chi, window_layers, iters)
     finally:
+        _resume_queue_jobs(paused)
         try:
             os.remove(lock)
         except OSError:
