@@ -276,7 +276,8 @@ def main():
         measurement owns the core and the device. Resumed in finally."""
         paused = []
         skip = _ancestors()
-        for pidfile in ("/tmp/seed_queue.pid", "/tmp/cpu_seed_queue.pid"):
+        import glob as _glob
+        for pidfile in sorted(set(_glob.glob("/tmp/*seed_queue*.pid"))):
             try:
                 with open(pidfile) as f:
                     root_pid = int(f.read().strip())
