@@ -10,16 +10,18 @@ running as batched on-device XLA programs.
 from .compilers import AdaptCompiler, AdaptConfig, AdaptResult
 from .compilers.approximate_compiler import (ApproximateCompiler,
                                              CompileInPartsResult)
-from .backends.backend import (AQCBackend, MPSBackend, SamplingBackend,
-                               SVBackend, mps_backend_with_args,
-                               MPS_SIM, QASM_SIM, SV_SIM)
+from .backends.backend import (AQCBackend, CenterMPSBackend, MPSBackend,
+                               SamplingBackend, SVBackend,
+                               mps_backend_with_args,
+                               MPS_SIM, QASM_SIM, SV_SIM, CENTER_MPS_SIM)
 from .circuits.circuit import Circuit
 
 __version__ = "0.1.0"
 
 __all__ = [
     "AdaptCompiler", "AdaptConfig", "AdaptResult", "ApproximateCompiler",
-    "CompileInPartsResult", "AQCBackend", "MPSBackend", "SamplingBackend",
+    "CompileInPartsResult", "AQCBackend", "CenterMPSBackend", "MPSBackend",
+    "SamplingBackend",
     "SVBackend", "mps_backend_with_args", "MPS_SIM", "QASM_SIM", "SV_SIM",
-    "Circuit",
+    "CENTER_MPS_SIM", "Circuit",
 ]

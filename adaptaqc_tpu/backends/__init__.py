@@ -1,3 +1,3 @@
-from . import mps_core, sv_core
+from . import center_mps, mps_core, sv_core
 
-__all__ = ["mps_core", "sv_core"]
+__all__ = ["center_mps", "mps_core", "sv_core"]

@@ -486,6 +486,136 @@ class SamplingBackend(AQCBackend):
         return sample_tomography_rdm(exact, self.shots, self.host_rng)
 
 
+class CenterMPSBackend(AQCBackend):
+    """Independent second MPS engine behind the backend ABC — the
+    ITensorBackend analogue (itensor_backend.py:17-62).
+
+    The reference's ITensorBackend exists to cross-check the primary (Aer)
+    MPS engine with an algorithmically independent tensor-network simulator
+    (ITensorNetworks.jl via juliacall). This backend plays that role
+    TPU-natively: `center_mps.py` is a from-scratch mixed-canonical
+    (orthogonality-center) MPS engine in the ITensor idiom, sharing no gauge
+    convention or update algebra with `mps_core.py`'s Hastings B-form engine.
+
+    Parity with itensor_backend.py:
+      - ctor args (chi, cutoff) match :18 (chi=10_000, cutoff=1e-14); static
+        TPU shapes require a finite chi, so the default is DEFAULT_MAX_CHI.
+      - evaluate_global_cost = 1 - overlap-with-zero of the normalised state
+        (:34-42) and raises on soften_global_cost like :35-38.
+      - evaluate_circuit returns the engine MPS (:47-59).
+      - the reference raises NotImplementedError for local cost and
+        expectation values (:44-45, :61-62); here both work (the engine has
+        gauge-agnostic observables), as does ISL-method pair selection via
+        all_pair_rdms — deviations that only ADD capability (docs/PARITY.md).
+      - no sweep fast path: costs go through the host Rotosolve path, the
+        analogue of the reference backend re-simulating per query.
+    """
+
+    engine_name = "center_mps"
+
+    def __init__(self, chi: Optional[int] = None, cutoff: float = 1e-14):
+        self.chi = chi
+        self.cutoff = float(cutoff)
+        self._jit_cache = {}
+
+    def chi_for(self, n: int) -> int:
+        cap = self.chi or DEFAULT_MAX_CHI
+        return int(min(cap, max(2, 2 ** ((n + 1) // 2))))
+
+    # ------------------------------------------------------- engine plumbing
+    def initial_state(self, circuit: Circuit, n: int):
+        from . import center_mps
+        chi = self.chi_for(n)
+        if circuit.data and circuit.data[0].name == "set_mps":
+            raise ValueError(
+                "CenterMPSBackend takes gate-circuit targets (the reference "
+                "ITensorBackend likewise prepares its own target MPS)")
+        if circuit.data and circuit.data[0].name == "set_statevector":
+            return center_mps.from_bform(
+                mps_core.from_dense(circuit.data[0].payload, chi))
+        return center_mps.zero_cmps(n, chi)
+
+    def run_tape(self, state, tape: Tape):
+        from . import center_mps
+        key = ("run", tape.padded_length, state.chi, state.n)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cut = self.cutoff
+            fn = jax.jit(lambda s, k, a, b, th: center_mps.apply_tape(
+                s, k, a, b, th, cut))
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
+    def run_tape_adjoint(self, state, tape: Tape):
+        from . import center_mps
+        key = ("runadj", tape.padded_length, state.chi, state.n)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            cut = self.cutoff
+            fn = jax.jit(lambda s, k, a, b, th: center_mps.apply_tape_adjoint(
+                s, k, a, b, th, cut))
+            self._jit_cache[key] = fn
+        return fn(state, *_tape_args(tape))
+
+    def state_of(self, compiler):
+        return compiler._current_state()
+
+    def sweep_engine(self):
+        return None  # host path: every cost query re-evaluates the engine
+
+    def zero_ref(self, compiler):
+        from . import center_mps
+        n = compiler.full_circuit.num_qubits
+        return center_mps.zero_cmps(n, self.chi_for(n))
+
+    @staticmethod
+    def truncated_weight(state) -> float:
+        return float(state.trunc)
+
+    # ----------------------------------------------------------- cost layer
+    def evaluate_global_cost(self, compiler):
+        from . import center_mps
+        if compiler.soften_global_cost:
+            raise NotImplementedError(
+                "soften_global_cost is currently only implemented for "
+                "MPSBackend")  # itensor_backend.py:35-38
+        return float(center_mps.global_cost_normalized(self.state_of(compiler)))
+
+    def evaluate_local_cost(self, compiler):
+        evals = self.measure_qubit_expectation_values(compiler)
+        return float(0.5 * (1 - np.mean(evals)))
+
+    def evaluate_circuit(self, compiler):
+        return self.state_of(compiler)
+
+    def measure_qubit_expectation_values(self, compiler):
+        from . import center_mps
+        return list(np.asarray(center_mps.z_expectations(
+            self.state_of(compiler))))
+
+    # -------------------------------------------------------- analysis layer
+    def all_pair_rdms(self, state, pairs: np.ndarray):
+        from . import center_mps
+        key = ("rdms", state.n, state.chi)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(center_mps.all_pair_rdms)
+            self._jit_cache[key] = fn
+        rhos = fn(state)
+        out = []
+        for (a, b) in pairs:
+            lo, hi = min(a, b), max(a, b)
+            out.append(cplx.to_np(rhos[lo, hi]))
+        return out
+
+    def two_qubit_rdm(self, circuit_or_compiler, q1, q2, state=None):
+        from . import center_mps
+        if state is None:
+            state = self.state_of(circuit_or_compiler)
+        lo, hi = min(q1, q2), max(q1, q2)
+        return cplx.to_np(center_mps.all_pair_rdms(state)[lo, hi])
+
+
 def mps_backend_with_args(mps_truncation_threshold=DEFAULT_TRUNCATION_THRESHOLD,
                           max_chi=None, mps_log_data=False,
                           **_ignored) -> MPSBackend:
@@ -493,7 +623,9 @@ def mps_backend_with_args(mps_truncation_threshold=DEFAULT_TRUNCATION_THRESHOLD,
     return MPSBackend(mps_truncation_threshold, max_chi, mps_log_data)
 
 
-# Default singletons (python_default_backends.py:17-19)
+# Default singletons (python_default_backends.py:17-19; CENTER_MPS_SIM is
+# the ITENSOR_SIM analogue, julia_default_backends.py:13)
 SV_SIM = SVBackend()
 MPS_SIM = MPSBackend()
 QASM_SIM = SamplingBackend()
+CENTER_MPS_SIM = CenterMPSBackend()

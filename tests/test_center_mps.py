@@ -1,0 +1,176 @@
+"""Center-gauge (ITensor-style) second engine + CenterMPSBackend.
+
+The reference cross-checks its primary MPS simulator with an independent
+ITensor engine (/root/reference/adaptaqc/backends/itensor_backend.py:17-62);
+these tests pin our analogue the same way: against exact dense simulation,
+against the primary Hastings B-form engine, and end-to-end through
+AdaptCompiler.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from adaptaqc_tpu.circuits.circuit import Circuit
+from adaptaqc_tpu.circuits.tape import compile_tape
+from adaptaqc_tpu.backends import center_mps, mps_core
+from adaptaqc_tpu.backends.backend import CenterMPSBackend, SVBackend
+from adaptaqc_tpu.ops import cplx
+
+from reference_sim import simulate
+from test_sv_core import random_circuit
+
+CUT = 1e-12
+
+
+def run_cmps(qc, chi):
+    tape = compile_tape(qc)
+    st = center_mps.zero_cmps(qc.num_qubits, chi)
+    return center_mps.apply_tape(st, tape.kinds, tape.q0, tape.q1,
+                                 tape.angles, CUT)
+
+
+def test_cmps_matches_dense_random():
+    rng = np.random.default_rng(0)
+    for n, chi in ((2, 2), (3, 4), (5, 8)):
+        qc = random_circuit(n, 24, rng)
+        st = run_cmps(qc, chi)
+        np.testing.assert_allclose(center_mps.to_dense(st), simulate(qc),
+                                   atol=1e-5)
+
+
+def test_cmps_nonadjacent_and_reversed_gates():
+    qc = Circuit(5)
+    qc.h(0)
+    qc.cx(0, 4)      # long-range, swap-routed
+    qc.ry(0.7, 2)
+    qc.cx(4, 1)      # reversed control/target (CXR path)
+    qc.cz(3, 0)
+    st = run_cmps(qc, 8)
+    np.testing.assert_allclose(center_mps.to_dense(st), simulate(qc),
+                               atol=1e-5)
+
+
+def test_center_moves_are_pure_gauge():
+    rng = np.random.default_rng(3)
+    qc = random_circuit(4, 20, rng)
+    st = run_cmps(qc, 8)
+    dense = center_mps.to_dense(st)
+    for k in (3, 0, 2, 1):
+        st = center_mps.move_center_to(st, k)
+        assert int(st.center) == k
+        np.testing.assert_allclose(center_mps.to_dense(st), dense, atol=1e-5)
+
+
+def test_degenerate_schmidt_spectra():
+    # Bell/GHZ probes: exactly degenerate Schmidt values are the classic
+    # truncation-bug trap (CLAUDE.md hard constraints)
+    for n in (2, 4, 6):
+        qc = Circuit(n)
+        qc.h(0)
+        for q in range(n - 1):
+            qc.cx(q, q + 1)
+        st = run_cmps(qc, max(2, 2 ** (n // 2)))
+        dense = center_mps.to_dense(st)
+        expected = np.zeros(2 ** n, complex)
+        expected[0] = expected[-1] = 1 / np.sqrt(2)
+        np.testing.assert_allclose(np.abs(dense), np.abs(expected), atol=1e-5)
+        assert abs(center_mps.norm_sq(st) - 1.0) < 1e-5
+
+
+def test_truncation_tracks_discarded_weight():
+    rng = np.random.default_rng(4)
+    qc = random_circuit(6, 60, rng)
+    full = run_cmps(qc, 8)
+    assert float(full.trunc) < 1e-6
+    capped = run_cmps(qc, 2)   # chi=2 must truncate a 6q random circuit
+    assert float(capped.trunc) > 1e-4
+    # norm decays by exactly the discarded weight (no renormalisation):
+    assert float(center_mps.norm_sq(capped)) < 1.0 + 1e-5
+
+
+def test_observables_match_dense():
+    rng = np.random.default_rng(5)
+    qc = random_circuit(4, 20, rng)
+    st = run_cmps(qc, 8)
+    sv = simulate(qc)
+    # overlap with zero / global cost
+    assert abs(cplx.to_np(center_mps.overlap_with_zero(st)) - sv[0]) < 1e-5
+    gc = float(center_mps.global_cost_normalized(st))
+    assert abs(gc - (1 - abs(sv[0]) ** 2)) < 1e-5
+    # z expectations
+    z = np.asarray(center_mps.z_expectations(st))
+    probs = np.abs(sv) ** 2
+    for q in range(4):
+        signs = np.array([1 if not (i >> q) & 1 else -1 for i in range(16)])
+        assert abs(z[q] - np.sum(signs * probs)) < 1e-5
+
+
+def test_all_pair_rdms_match_dense():
+    rng = np.random.default_rng(6)
+    qc = random_circuit(4, 20, rng)
+    st = run_cmps(qc, 8)
+    sv = simulate(qc)
+    rhos = center_mps.all_pair_rdms(st)
+    psi = sv.reshape([2] * 4)  # axes (q3, q2, q1, q0)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            # rho with qubit i as LSB: basis index 2*q_j + q_i
+            m = np.moveaxis(psi, [3 - j, 3 - i], [0, 1]).reshape(4, -1)
+            rho_exact = m @ m.conj().T
+            got = cplx.to_np(rhos[i, j])
+            np.testing.assert_allclose(got, rho_exact, atol=1e-5)
+
+
+def test_from_bform_conversion_exact():
+    rng = np.random.default_rng(7)
+    qc = random_circuit(5, 30, rng)
+    tape = compile_tape(qc)
+    b = mps_core.apply_tape(mps_core.zero_mps(5, 8), tape.kinds, tape.q0,
+                            tape.q1, tape.angles, 1e-12)
+    c = center_mps.from_bform(b)
+    np.testing.assert_allclose(center_mps.to_dense(c), mps_core.to_dense(b),
+                               atol=1e-6)
+
+
+def test_cross_engine_global_cost_agreement():
+    # the raison d'etre of the second engine: an independent check of the
+    # primary engine's cost numbers
+    rng = np.random.default_rng(8)
+    qc = random_circuit(6, 40, rng)
+    tape = compile_tape(qc)
+    b = mps_core.apply_tape(mps_core.zero_mps(6, 8), tape.kinds, tape.q0,
+                            tape.q1, tape.angles, 1e-12)
+    c = run_cmps(qc, 8)
+    gb = float(mps_core.global_cost_normalized(b))
+    gc = float(center_mps.global_cost_normalized(c))
+    assert abs(gb - gc) < 1e-5
+
+
+def test_backend_end_to_end_compile():
+    from adaptaqc_tpu import AdaptCompiler, AdaptConfig
+    rng = np.random.default_rng(9)
+    qc = random_circuit(3, 10, rng)
+    backend = CenterMPSBackend(chi=4)
+    cfg = AdaptConfig(sufficient_cost=0.01, max_layers=30)
+    result = AdaptCompiler(qc, backend=backend, adapt_config=cfg).compile()
+    assert result.overlap > 0.99
+    # cross-check the claimed overlap on the exact statevector engine
+    sv_sol = simulate(result.circuit)
+    sv_tgt = simulate(qc)
+    assert abs(np.vdot(sv_sol, sv_tgt)) ** 2 > 0.98
+
+
+def test_backend_parity_scope():
+    # itensor_backend.py:35-38 — softened global cost raises
+    from adaptaqc_tpu import AdaptCompiler
+    rng = np.random.default_rng(10)
+    qc = random_circuit(3, 6, rng)
+    backend = CenterMPSBackend(chi=4)
+    compiler = AdaptCompiler(qc, backend=backend, soften_global_cost=True)
+    with pytest.raises(NotImplementedError):
+        backend.evaluate_global_cost(compiler)
+    # MPS targets are rejected (compiler requires the primary MPSBackend)
+    mps_target = mps_core.zero_mps(3, 4)
+    with pytest.raises(Exception):
+        AdaptCompiler(mps_target, backend=backend)
