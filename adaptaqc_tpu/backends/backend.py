@@ -332,11 +332,14 @@ class MPSBackend(AQCBackend):
         rhos = mps_core.all_pair_rdms(state)
         return cplx.to_np(rhos[lo, hi])
 
-    def mps_from_compiler_target(self, circuit: Circuit):
+    def mps_from_compiler_target(self, circuit: Circuit, start_state=None):
         """Simulate a target circuit into an MPS (the reference's
-        mps_from_circuit precompute, approximate_compiler.py:196-204)."""
+        mps_from_circuit precompute, approximate_compiler.py:196-204).
+        `start_state` extends an existing target MPS by the circuit's gates
+        instead of starting from |0..0> (incremental ladder prefixes)."""
         n = circuit.num_qubits
-        state = self.initial_state(circuit, n)
+        state = (start_state if start_state is not None
+                 else self.initial_state(circuit, n))
         start = 1 if (circuit.data and circuit.data[0].name in
                       ("set_mps", "set_statevector")) else 0
         tape = compile_tape(circuit, (start, len(circuit.data)))

@@ -33,7 +33,7 @@ U4_TABLE = np.concatenate([G.FIXED_U4_TABLE, _CXR_MAT[None]], axis=0)
 N_KINDS = CXR + 1
 
 BUCKETS = [8, 16, 32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048,
-           3072, 4096, 6144, 8192]
+           3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768]
 
 
 def bucket_length(n: int) -> int:

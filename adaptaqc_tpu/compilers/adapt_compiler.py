@@ -150,6 +150,36 @@ class AdaptCompiler(ApproximateCompiler):
             raise ValueError("soften_global_cost must be False when optimising "
                              "local cost")
 
+        # construction knobs captured for compile_in_parts' per-part clones
+        # (starting_circuit deliberately excluded: the carried ladder
+        # solution rides through compile(initial_ansatz=...) instead;
+        # profile_dir excluded to avoid nested profiler traces; backend
+        # excluded so the checkpoint pickle codec — which sanitises
+        # self.backend by name — stays the only live reference)
+        self._ctor_kwargs = dict(
+            entanglement_measure=entanglement_measure,
+            execute_kwargs=execute_kwargs, coupling_map=coupling_map,
+            adapt_config=adapt_config,
+            general_initial_state=general_initial_state,
+            custom_layer_2q_gate=custom_layer_2q_gate,
+            save_circuit_history=save_circuit_history,
+            use_roto_algos=use_roto_algos, use_rotoselect=use_rotoselect,
+            use_advanced_transpilation=use_advanced_transpilation,
+            rotosolve_fraction=rotosolve_fraction,
+            perform_final_minimisation=perform_final_minimisation,
+            optimise_local_cost=optimise_local_cost,
+            soften_global_cost=soften_global_cost,
+            debug_log_full_ansatz=debug_log_full_ansatz,
+            initial_single_qubit_layer=initial_single_qubit_layer,
+            zigzag=zigzag, start_variant=start_variant)
+
+    def _clone_with_target(self, target):
+        """Fresh AdaptCompiler for one compile_in_parts ladder part: same
+        construction knobs, new target (gate circuit or engine MPS)."""
+        return AdaptCompiler(target, backend=self.backend,
+                             starting_circuit=None, profile_dir=None,
+                             **self._ctor_kwargs)
+
     # ------------------------------------------------------------ layer gate
     def construct_layer_2q_gate(self, custom_layer_2q_gate) -> Circuit:
         """Default: thinly-dressed CNOT (adapt_compiler.py:224-239)."""

@@ -277,7 +277,9 @@ def main():
         paused = []
         skip = _ancestors()
         import glob as _glob
-        for pidfile in sorted(set(_glob.glob("/tmp/*seed_queue*.pid"))):
+        pidfiles = (_glob.glob("/tmp/*seed_queue*.pid")
+                    + _glob.glob("/tmp/ladder*.pid"))
+        for pidfile in sorted(set(pidfiles)):
             try:
                 with open(pidfile) as f:
                     root_pid = int(f.read().strip())
@@ -322,18 +324,24 @@ def main():
     # the load average so a contended measurement is still self-labeling.
     load_before = os.getloadavg()
     lock = "/tmp/adaptaqc_bench.lock"
-    with open(lock, "w") as f:
-        f.write(str(os.getpid()))
+    # another runner (e.g. benchmarks/ladder_n50.sh) may already hold the
+    # lock for its whole multi-hour run: don't delete it on exit then, or
+    # the seed queue would resume next to the still-running holder
+    lock_preexisting = os.path.exists(lock)
+    if not lock_preexisting:
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
     paused = _pause_queue_jobs()
     try:
         evals_per_sec, evals_per_sweep, dt, flops = run_sweep_benchmark(
             n, chi, window_layers, iters)
     finally:
         _resume_queue_jobs(paused)
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        if not lock_preexisting:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     from adaptaqc_tpu.ops import cplx
     extras = {"eigh_impl": cplx._eigh_impl(),

@@ -111,6 +111,11 @@ def main():
     # then budgets each part
     parts_mode = bool(int(os.environ.get("SPIN_PARTS", "0")))
     sufficient = float(os.environ.get("SPIN_SUFF", 1e-2))
+    # SPIN_LOCAL=1: optimise the local (per-qubit) cost instead of the
+    # global overlap (reference optimise_local_cost; ISL's large-n
+    # recommendation — the global-cost descent plateaus at ~1e-4/layer on
+    # the n=50 workload). sufficient_cost then thresholds the LOCAL cost.
+    local_cost = bool(int(os.environ.get("SPIN_LOCAL", "0")))
     config = AdaptConfig(method=method,
                          cost_improvement_num_layers=1000,
                          sufficient_cost=sufficient,
@@ -121,7 +126,8 @@ def main():
         target, backend=backend, adapt_config=config,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
         custom_layer_2q_gate=identity_resolvable(),
-        starting_circuit=prep)
+        starting_circuit=prep,
+        optimise_local_cost=local_cost)
     t0 = time.time()
     if parts_mode:
         # block depth defaults to one Trotter step (prep X-gates fold into
@@ -175,6 +181,7 @@ def main():
         "max_layers": max_layers,
         "working_chi": max_chi,
         "method": method,
+        "local_cost": local_cost,
         "parts": getattr(result, "part_overlaps", None),
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
         "sm_solution": None if sm_sol is None else round(sm_sol, 4),

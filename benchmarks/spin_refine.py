@@ -11,6 +11,12 @@ overlap 0.9x restarts from cost ~0.0x instead of ~1-1e-6.
 Usage: python benchmarks/spin_refine.py [n] [steps] [dt]
 Env: SPIN_REFINE_CHI (default 64), SPIN_REFINE_LAYERS (extra, default 300),
      SPIN_REFINE_SUFF (default 1e-2), SPIN_DELTA / SPIN_H as spin_chain.py.
+     A/B knobs for the n=50 plateau investigation:
+     SPIN_REFINE_WINDOW — max_layers_to_modify (default 100: a warm start
+       larger than the window leaves its leading gates frozen forever);
+     SPIN_REFINE_LOCAL=1 — optimise the local (per-qubit) cost instead of
+       the global overlap (ISL's large-n recommendation; the global overlap
+       is still what gets recorded).
 """
 
 import gzip
@@ -33,11 +39,14 @@ RESULTS = os.path.join(HERE, "results_spin_chain.jsonl")
 
 
 def best_saved_circuit(workload: str):
+    pinned = os.environ.get("SPIN_REFINE_FROM")  # pin for A/B fairness
     best = None
     with open(RESULTS) as f:
         for line in f:
             r = json.loads(line)
             if r.get("workload") == workload and r.get("circuit"):
+                if pinned and r["circuit"] != pinned:
+                    continue
                 ov = r.get("overlap") or 0.0
                 if best is None or ov > best[1]:
                     best = (r["circuit"], ov)
@@ -62,6 +71,8 @@ def main():
     chi = int(os.environ.get("SPIN_REFINE_CHI", 64))
     extra_layers = int(os.environ.get("SPIN_REFINE_LAYERS", 300))
     sufficient = float(os.environ.get("SPIN_REFINE_SUFF", 1e-2))
+    window = int(os.environ.get("SPIN_REFINE_WINDOW", 100))
+    local_cost = bool(int(os.environ.get("SPIN_REFINE_LOCAL", "0")))
 
     workload = f"xxz_trotter_n{n}_steps{steps}_dt{dt}"
     circ_rel, prev_ov = best_saved_circuit(workload)
@@ -78,13 +89,15 @@ def main():
     config = AdaptConfig(method="brickwall",
                          cost_improvement_num_layers=1000,
                          sufficient_cost=sufficient,
-                         max_layers=extra_layers)
+                         max_layers=extra_layers,
+                         max_layers_to_modify=window)
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
                                     max_chi=chi)
     compiler = AdaptCompiler(
         target, backend=backend, adapt_config=config,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
-        custom_layer_2q_gate=identity_resolvable())
+        custom_layer_2q_gate=identity_resolvable(),
+        optimise_local_cost=local_cost)
     t0 = time.time()
     result = compiler.compile(initial_ansatz=ansatz)
     wall = time.time() - t0
@@ -110,6 +123,8 @@ def main():
         "cost_evaluations": result.cost_evaluations,
         "working_chi": chi,
         "method": "brickwall",
+        "rotosolve_window": window,
+        "local_cost": local_cost,
         "refined_from": circ_rel,
         "refined_from_overlap": prev_ov,
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
