@@ -66,10 +66,12 @@ def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
                    method="general_gradient"):
     import os
     if sufficient_cost is None:
-        # RMPS_SUFF < 1e-2 leaves margin above the paper's 0.99 threshold:
-        # a stop at exactly cost 1e-2 records an overlap that rounds to
-        # 0.9900 and fails a strict >0.99 tally (seeds 57/69 did)
-        sufficient_cost = float(os.environ.get("RMPS_SUFF", 1e-2))
+        # default 9.5e-3, NOT the reference's 1e-2: a stop at exactly cost
+        # 1e-2 records an overlap that rounds to 0.9900 and fails a strict
+        # >0.99 tally (seeds 57/69/78/80/81 each cost a whole refinement
+        # pass to push past it); the 0.5e-3 margin is one or two extra
+        # layers at the stop point
+        sufficient_cost = float(os.environ.get("RMPS_SUFF", 9.5e-3))
     if max_chi is None:
         # chi=32 is the right operating point: the 4*chi real-embedded eigh
         # inside every 2q apply costs 0.11 ms at chi=32 vs 1.6 ms at chi=64
@@ -184,7 +186,7 @@ def main():
                               getattr(result, "phase_timings", {}).items()},
             "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
             "start_variant": int(os.environ.get("RMPS_START_VARIANT", 0)),
-            "sufficient_cost": float(os.environ.get("RMPS_SUFF", 1e-2)),
+            "sufficient_cost": float(os.environ.get("RMPS_SUFF", 9.5e-3)),
             "circuit": circ_path,
             "build": _git_rev(),
             "platform": _platform(),

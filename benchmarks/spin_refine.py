@@ -16,7 +16,10 @@ Env: SPIN_REFINE_CHI (default 64), SPIN_REFINE_LAYERS (extra, default 300),
        larger than the window leaves its leading gates frozen forever);
      SPIN_REFINE_LOCAL=1 — optimise the local (per-qubit) cost instead of
        the global overlap (ISL's large-n recommendation; the global overlap
-       is still what gets recorded).
+       is still what gets recorded);
+     SPIN_REFINE_SOFTEN=1 — soften the global cost with the hamming-1 terms
+       (reference soften_global_cost, adapt_compiler.py:114-121: the other
+       large-n flat-landscape tool; mutually exclusive with LOCAL).
 """
 
 import gzip
@@ -73,6 +76,7 @@ def main():
     sufficient = float(os.environ.get("SPIN_REFINE_SUFF", 1e-2))
     window = int(os.environ.get("SPIN_REFINE_WINDOW", 100))
     local_cost = bool(int(os.environ.get("SPIN_REFINE_LOCAL", "0")))
+    soften = bool(int(os.environ.get("SPIN_REFINE_SOFTEN", "0")))
 
     workload = f"xxz_trotter_n{n}_steps{steps}_dt{dt}"
     circ_rel, prev_ov = best_saved_circuit(workload)
@@ -97,7 +101,8 @@ def main():
         target, backend=backend, adapt_config=config,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
         custom_layer_2q_gate=identity_resolvable(),
-        optimise_local_cost=local_cost)
+        optimise_local_cost=local_cost,
+        soften_global_cost=soften)
     t0 = time.time()
     result = compiler.compile(initial_ansatz=ansatz)
     wall = time.time() - t0
@@ -125,6 +130,7 @@ def main():
         "method": "brickwall",
         "rotosolve_window": window,
         "local_cost": local_cost,
+        "softened": soften,
         "refined_from": circ_rel,
         "refined_from_overlap": prev_ov,
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
