@@ -173,12 +173,119 @@ class AdaptCompiler(ApproximateCompiler):
             initial_single_qubit_layer=initial_single_qubit_layer,
             zigzag=zigzag, start_variant=start_variant)
 
-    def _clone_with_target(self, target):
+    def _clone_with_target(self, target, backend=None, starting_circuit=None):
         """Fresh AdaptCompiler for one compile_in_parts ladder part: same
         construction knobs, new target (gate circuit or engine MPS)."""
-        return AdaptCompiler(target, backend=self.backend,
-                             starting_circuit=None, profile_dir=None,
-                             **self._ctor_kwargs)
+        return AdaptCompiler(target, backend=backend or self.backend,
+                             starting_circuit=starting_circuit,
+                             profile_dir=None, **self._ctor_kwargs)
+
+    def compile_with_chi_schedule(self, chis=(32, 64, 128),
+                                  initial_ansatz=None):
+        """Escalating working-precision compile.
+
+        The reference's Aer engine runs with an UNBOUNDED bond dimension
+        (aer_mps_backend.py:27-42 never sets
+        matrix_product_state_max_bond_dimension), so its in-loop cost is
+        always exact; static TPU shapes force a chi cap, and a binding cap
+        makes the cost surrogate inexact mid-trajectory (the partially-built
+        ansatz entangles above it — measured as an n-proportional plateau on
+        the 50q fig5 workload, docs/tpu_design_notes.md "plateau anatomy").
+
+        This is the TPU-native answer: compile at ``chis[0]``, and while the
+        verified sufficient-cost stop has not fired, re-compile warm-started
+        from the previous stage's solution at each higher chi. Cheap stages
+        do the bulk of the layer construction at small-chi sweep cost; the
+        final stage only has to descend the (now small) surrogate error.
+        Each stage pays one XLA recompile of the sweep programs for its new
+        static shapes (persistently cached across runs).
+
+        Returns the last stage's AdaptResult with ``cost_evaluations`` and
+        ``time_taken`` aggregated across stages and a ``chi_schedule``
+        attribute of per-stage ``(chi, overlap)`` pairs.
+        """
+        from ..backends.backend import MPSBackend
+        if not isinstance(self.backend, MPSBackend):
+            raise ValueError("compile_with_chi_schedule requires an "
+                             "MPSBackend (chi is its working precision)")
+        if not chis:
+            raise ValueError("chis must be a non-empty ascending sequence")
+        sufficient = self.adapt_config.sufficient_cost
+        carried = initial_ansatz
+        stages, total_evals, total_time, result = [], 0, 0.0, None
+        for i, chi in enumerate(chis):
+            if i == 0 and chi == self.backend.max_chi:
+                stage_compiler = self
+            else:
+                backend = MPSBackend(
+                    self.backend.truncation_threshold, int(chi),
+                    self.backend.mps_log_data, mesh=self.backend.mesh)
+                # the user's starting circuit only matters while there is no
+                # carried ansatz (stage 1 without a warm start)
+                stage_compiler = self._clone_with_target(
+                    self.target, backend=backend,
+                    starting_circuit=(self.starting_circuit
+                                      if carried is None else None))
+            result = stage_compiler.compile(initial_ansatz=carried)
+            total_evals += result.cost_evaluations
+            total_time += result.time_taken
+            stages.append((int(chi), result.overlap))
+            logger.info("chi-schedule stage %d/%d (chi=%d): overlap %.6f",
+                        i + 1, len(chis), chi, result.overlap)
+            carried = result.circuit
+            if 1.0 - result.overlap <= sufficient:
+                # a gate-circuit target is itself SIMULATED at the stage's
+                # working chi, so a stage at a binding cap can "converge"
+                # against a truncated target; only stop escalating once the
+                # solution clears the threshold against the ORIGINAL target
+                # at the schedule's final chi
+                if i == len(chis) - 1:
+                    break
+                independent = self._overlap_at_chi(result.circuit, chis[-1])
+                result.independent_overlap = independent
+                if 1.0 - independent <= sufficient:
+                    logger.info("chi-schedule: stage %d solution clears the "
+                                "threshold at chi=%d (overlap %.6f); "
+                                "stopping early", i + 1, chis[-1], independent)
+                    break
+        result.cost_evaluations = total_evals
+        result.time_taken = total_time
+        result.chi_schedule = stages
+        return result
+
+    def _overlap_at_chi(self, qc, chi: int) -> float:
+        """|<target|qc|0>|^2 with both sides re-simulated from the ORIGINAL
+        target at bond dimension ``chi``, normalised by both norms —
+        independent of every working-chi artifact (for gate-circuit targets
+        the in-loop target payload is itself simulated at the working chi,
+        so ``result.overlap`` at a binding cap measures fidelity to a
+        truncated target)."""
+        import jax.numpy as jnp
+        from ..backends import mps_core
+        n = qc.num_qubits
+        chi = int(min(chi, 2 ** ((n + 1) // 2)))
+        thr = self.backend.truncation_threshold
+        if mps_core.check_mps(self.target):
+            if isinstance(self.target, mps_core.MPS):
+                target = (mps_core.pad_chi(self.target, chi)
+                          if chi > self.target.chi else self.target)
+            else:
+                target = mps_core.from_qiskit_mps(self.target, chi)
+        else:
+            tt = compile_tape(co.make_quantum_only_circuit(self.target))
+            target = mps_core.apply_tape(
+                mps_core.zero_mps(n, chi), jnp.asarray(tt.kinds),
+                jnp.asarray(tt.q0), jnp.asarray(tt.q1),
+                jnp.asarray(tt.angles), thr)
+        st = compile_tape(co.make_quantum_only_circuit(qc))
+        state = mps_core.apply_tape(
+            mps_core.zero_mps(n, chi), jnp.asarray(st.kinds),
+            jnp.asarray(st.q0), jnp.asarray(st.q1),
+            jnp.asarray(st.angles), thr)
+        nrm2 = float(mps_core.mps_dot(state, state).re)
+        tnrm2 = float(mps_core.mps_dot(target, target).re)
+        return float(mps_core.mps_dot(target, state).abs2()
+                     / max(nrm2 * tnrm2, 1e-30))
 
     # ------------------------------------------------------------ layer gate
     def construct_layer_2q_gate(self, custom_layer_2q_gate) -> Circuit:

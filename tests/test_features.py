@@ -65,6 +65,49 @@ def test_compile_in_parts():
     assert len(result.individual_results) >= 2
 
 
+def test_compile_with_chi_schedule_escalates_past_binding_cap():
+    """Working-precision escalation: a chi=2 working cap is binding for an
+    entangled 4q target (true chi up to 4), so stage 1 stalls; the chi=4
+    stage warm-starts from its solution and converges. The TPU-native
+    answer to Aer's unbounded bond dimension (aer_mps_backend.py:27-42)."""
+    # two Bell pairs across the middle cut: chi=4 with four EQUAL Schmidt
+    # values, so a chi=2 working cap pins the achievable fidelity at ~0.5
+    qc = Circuit(4)
+    qc.h(0)
+    qc.h(1)
+    qc.cx(0, 2)
+    qc.cx(1, 3)
+    compiler = AdaptCompiler(
+        qc, backend=MPSBackend(max_chi=2),
+        adapt_config=AdaptConfig(max_layers=40, sufficient_cost=1e-2))
+    result = compiler.compile_with_chi_schedule(chis=(2, 4))
+    assert result.overlap > 1 - 1e-2
+    assert [chi for chi, _ in result.chi_schedule] == [2, 4]
+    # aggregation: the final result carries both stages' evaluation counts
+    assert result.cost_evaluations > 0
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 3e-2
+
+
+def test_compile_with_chi_schedule_early_exit():
+    """A stage that already meets sufficient_cost stops the escalation."""
+    qc = target(3, seed=24)
+    compiler = AdaptCompiler(
+        qc, backend=MPSBackend(max_chi=8),
+        adapt_config=AdaptConfig(max_layers=60, sufficient_cost=1e-2))
+    result = compiler.compile_with_chi_schedule(chis=(8, 16, 32))
+    assert result.overlap > 1 - 1e-2
+    assert len(result.chi_schedule) == 1
+
+
+def test_compile_with_chi_schedule_requires_mps_backend():
+    qc = target(3, seed=25)
+    compiler = AdaptCompiler(qc, backend=SVBackend())
+    with pytest.raises(ValueError):
+        compiler.compile_with_chi_schedule(chis=(2, 4))
+
+
 def test_compile_in_parts_mps_backend_with_starting_circuit():
     """Regression: with an MPS backend, circuit_to_compile is the set_mps
     wrapper — the ladder must divide the GATE-LEVEL target (a set_mps
