@@ -147,6 +147,14 @@ def main():
         result.part_overlaps = [round(r.overlap, 4)
                                 for r in result.individual_results]
         result.circuit_qasm = None
+    elif os.environ.get("SPIN_CHI_SCHEDULE"):
+        # working-precision escalation (compile_with_chi_schedule): cheap
+        # small-chi stages build the bulk of the ansatz, higher-chi stages
+        # descend the surrogate error; SPIN_CHI is ignored in this mode
+        chis = tuple(int(c) for c in
+                     os.environ["SPIN_CHI_SCHEDULE"].split(","))
+        result = compiler.compile_with_chi_schedule(chis=chis)
+        max_chi = chis[-1]
     else:
         result = compiler.compile()
     wall = time.time() - t0
@@ -183,6 +191,8 @@ def main():
         "method": method,
         "local_cost": local_cost,
         "parts": getattr(result, "part_overlaps", None),
+        "chi_schedule": [[c, round(float(ov), 4)] for c, ov in
+                         getattr(result, "chi_schedule", [])] or None,
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
         "sm_solution": None if sm_sol is None else round(sm_sol, 4),
         "circuit": circ_path,
