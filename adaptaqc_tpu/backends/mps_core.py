@@ -590,6 +590,39 @@ def pad_chi(state: MPS, new_chi: int) -> MPS:
     return MPS(C(bre, bim), lam, state.trunc)
 
 
+def regauge(state: MPS, new_chi: int) -> MPS:
+    """Re-gauge an MPS into a different padded bond dimension.
+
+    Growing is the exact zero-padding of :func:`pad_chi`. Shrinking keeps
+    the ``new_chi`` largest Schmidt values at every bond (the same greedy
+    per-bond truncation a capped 2q sweep applies) via a host-side
+    qiskit-format round trip; :func:`from_qiskit_mps` renormalises, so the
+    result is a valid unit-norm payload for a smaller working precision.
+    Used by ``compile_with_chi_schedule`` to hand one engine-MPS target to
+    stages of different working chi (the reference never needs this: Aer's
+    bond dimension is a runtime value, aer_mps_backend.py:27-42)."""
+    if new_chi == state.chi:
+        return state
+    if new_chi > state.chi:
+        return pad_chi(state, new_chi)
+    gams, lams = to_qiskit_mps(state)
+    cut_gams, cut_lams = [], []
+    keep_l = np.array([0])  # bond 0 is the trivial left edge
+    for i in range(state.n):
+        if i < state.n - 1:
+            lam = np.asarray(lams[i])
+            keep_r = np.argsort(-lam)[:new_chi]
+            keep_r.sort()
+            cut_lams.append(lam[keep_r])
+        else:
+            keep_r = np.array([0])
+        g0, g1 = gams[i]
+        cut_gams.append((np.asarray(g0)[np.ix_(keep_l, keep_r)],
+                         np.asarray(g1)[np.ix_(keep_l, keep_r)]))
+        keep_l = keep_r
+    return from_qiskit_mps((cut_gams, cut_lams), new_chi)
+
+
 def check_mps(obj) -> bool:
     """Heuristic type check mirroring aqc_research.check_mps usage
     (approximate_compiler.py:121)."""

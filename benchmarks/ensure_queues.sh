@@ -28,10 +28,14 @@ if ! queue_alive; then
 fi
 
 # stale lock with no live holder (a runner died without its EXIT trap):
-# remove it so the queue can proceed
+# remove it so the queue can proceed. EVERY runner pidfile must be checked
+# here (ADVICE r3: the round3-only list would have deleted a live lock held
+# by another runner, recreating the two-TPU-client worker-crash condition).
 if [ -e /tmp/adaptaqc_bench.lock ]; then
   holder_alive=0
-  for f in /tmp/round3_ab_seed_queue.pid /tmp/round3_followup_seed_queue.pid; do
+  for f in /tmp/round3_ab_seed_queue.pid /tmp/round3_followup_seed_queue.pid \
+           /tmp/round4_flagship_seed_queue.pid /tmp/ladder_n50.pid \
+           /tmp/spin_ab.pid; do
     alive "$f" && holder_alive=1
   done
   # bench.py writes its own pid into the lock

@@ -166,6 +166,14 @@ def main():
         result, wall = compile_target(qmps)
         layers = len(result.qubit_pair_history)
         overlap64 = independent_overlap(qmps, result.circuit)
+        engine_ov = None
+        try:
+            if int(os.environ.get("RMPS_CROSS_ENGINE", "1")):
+                from adaptaqc_tpu.utils.verification import \
+                    cross_engine_overlap
+                engine_ov = cross_engine_overlap(qmps, result.circuit, chi=64)
+        except Exception as exc:  # pragma: no cover - benchmark resilience
+            print(f"cross-engine check failed: {exc}", file=sys.stderr)
         # persist the compiled circuit so any record (especially surprising
         # overlap readings) can be re-simulated later without re-compiling
         circ_path = _save_circuit(result, f"seed_{seed}")
@@ -175,6 +183,8 @@ def main():
             "n_qubits": len(qmps[0]),
             "overlap": round(result.overlap, 4),
             "overlap_chi64_check": round(overlap64, 4),
+            "independent_engine_overlap": (
+                None if engine_ov is None else round(engine_ov, 4)),
             "working_chi": int(os.environ.get("RMPS_CHI", 32)),
             "layers": layers,
             "num_2q_gates": result.num_2q_gates,

@@ -91,6 +91,13 @@ def refine(seed):
     wall = time.time() - t0
 
     overlap64 = independent_overlap(qmps, result.circuit)
+    engine_ov = None
+    try:
+        if int(os.environ.get("RMPS_CROSS_ENGINE", "1")):
+            from adaptaqc_tpu.utils.verification import cross_engine_overlap
+            engine_ov = cross_engine_overlap(qmps, result.circuit, chi=64)
+    except Exception as exc:  # pragma: no cover - benchmark resilience
+        print(f"cross-engine check failed: {exc}", file=sys.stderr)
     saved = _save_circuit(result, f"seed_{seed}_refined")
     record = {
         "seed": seed,
@@ -109,6 +116,8 @@ def refine(seed):
         "sufficient_cost": sufficient,
         "refined_from": circ_rel,
         "refined_from_overlap": prev_ov,
+        "independent_engine_overlap": (
+            None if engine_ov is None else round(engine_ov, 4)),
         "circuit": saved,
         "build": _git_rev(),
         "platform": _platform(),

@@ -173,6 +173,16 @@ def main():
         sm_sol = staggered_magnetisation(result.circuit, chi=64)
     except Exception as exc:  # pragma: no cover - benchmark resilience
         print(f"staggered-magnetisation check failed: {exc}", file=sys.stderr)
+    # cross-engine check: re-simulate target and solution in the independent
+    # center-gauge engine (reference ITensorBackend's purpose,
+    # itensor_backend.py:17-62). Guarded like the SM check.
+    engine_ov = None
+    try:
+        if int(os.environ.get("SPIN_CROSS_ENGINE", "1")):
+            from adaptaqc_tpu.utils.verification import cross_engine_overlap
+            engine_ov = cross_engine_overlap(target, result.circuit, chi=64)
+    except Exception as exc:  # pragma: no cover - benchmark resilience
+        print(f"cross-engine check failed: {exc}", file=sys.stderr)
     record = {
         "workload": f"xxz_trotter_n{n}_steps{steps}_dt{dt}",
         "delta": delta,
@@ -193,6 +203,11 @@ def main():
         "parts": getattr(result, "part_overlaps", None),
         "chi_schedule": [[c, round(float(ov), 4)] for c, ov in
                          getattr(result, "chi_schedule", [])] or None,
+        "independent_overlap": (
+            None if getattr(result, "independent_overlap", None) is None
+            else round(float(result.independent_overlap), 4)),
+        "independent_engine_overlap": (
+            None if engine_ov is None else round(engine_ov, 4)),
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
         "sm_solution": None if sm_sol is None else round(sm_sol, 4),
         "circuit": circ_path,

@@ -116,6 +116,13 @@ def main():
         sm_sol = staggered_magnetisation(result.circuit, chi=64)
     except Exception as exc:  # pragma: no cover - benchmark resilience
         print(f"staggered-magnetisation check failed: {exc}", file=sys.stderr)
+    engine_ov = None
+    try:
+        if int(os.environ.get("SPIN_CROSS_ENGINE", "1")):
+            from adaptaqc_tpu.utils.verification import cross_engine_overlap
+            engine_ov = cross_engine_overlap(target, result.circuit, chi=64)
+    except Exception as exc:  # pragma: no cover - benchmark resilience
+        print(f"cross-engine check failed: {exc}", file=sys.stderr)
     record = {
         "workload": workload,
         "delta": delta,
@@ -133,6 +140,8 @@ def main():
         "softened": soften,
         "refined_from": circ_rel,
         "refined_from_overlap": prev_ov,
+        "independent_engine_overlap": (
+            None if engine_ov is None else round(engine_ov, 4)),
         "sm_raw": None if sm_raw is None else round(sm_raw, 4),
         "sm_solution": None if sm_sol is None else round(sm_sol, 4),
         "circuit": saved,

@@ -174,3 +174,39 @@ def test_backend_parity_scope():
     mps_target = mps_core.zero_mps(3, 4)
     with pytest.raises(Exception):
         AdaptCompiler(mps_target, backend=backend)
+
+
+def test_cross_engine_overlap_verifier():
+    """utils.verification.cross_engine_overlap re-simulates target and
+    solution in the center-gauge engine (the reference keeps ITensorBackend
+    for exactly this cross-check, itensor_backend.py:17-62): identical
+    circuits give 1, and the verdict agrees with the B-form engine's
+    independent overlap on a random pair to f32 tolerance."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.tape import compile_tape
+    from adaptaqc_tpu.utils.verification import cross_engine_overlap
+
+    rng = np.random.default_rng(7)
+    qc = random_circuit(4, 8, rng)
+    assert abs(cross_engine_overlap(qc, qc, chi=8) - 1.0) < 1e-4
+
+    other = random_circuit(4, 6, np.random.default_rng(8))
+    got = cross_engine_overlap(qc, other, chi=8)
+    # B-form engine independent verdict on the same pair
+    def bform(c):
+        t = compile_tape(c)
+        return mps_core.apply_tape(
+            mps_core.zero_mps(4, 8), jnp.asarray(t.kinds),
+            jnp.asarray(t.q0), jnp.asarray(t.q1), jnp.asarray(t.angles),
+            1e-16)
+    a, b = bform(qc), bform(other)
+    want = float(mps_core.mps_dot(a, b).abs2()
+                 / (float(mps_core.mps_dot(a, a).re)
+                    * float(mps_core.mps_dot(b, b).re)))
+    assert abs(got - want) < 1e-3
+
+    # engine-MPS and qiskit-format targets run through the same verifier
+    assert abs(cross_engine_overlap(a, qc, chi=8) - 1.0) < 1e-4
+    assert abs(cross_engine_overlap(mps_core.to_qiskit_mps(a), qc, chi=8)
+               - 1.0) < 1e-4

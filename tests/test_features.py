@@ -299,3 +299,94 @@ def test_escape_periodic_local_minimum():
     after = compiler.minimizer.try_escaping_periodic_local_minimum(
         gap_between_minima=0.5, first_minima_loc=before)
     assert after <= before + 1e-9
+
+
+def test_compile_with_chi_schedule_engine_mps_target():
+    """Regression (ADVICE r3): an engine-MPS target is pinned to its padded
+    chi by MPSBackend.initial_state, so stage 2 of a schedule used to crash
+    with 'cached MPS chi mismatch'. Each stage now re-gauges the target to
+    its working chi (mps_core.regauge)."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.tape import compile_tape
+
+    qc = Circuit(4)
+    qc.h(0)
+    qc.cx(0, 1)
+    qc.ry(0.4, 2)
+    qc.cx(2, 3)
+    tape = compile_tape(qc)
+    mps_target = mps_core.apply_tape(
+        mps_core.zero_mps(4, 2), jnp.asarray(tape.kinds),
+        jnp.asarray(tape.q0), jnp.asarray(tape.q1), jnp.asarray(tape.angles),
+        1e-16)
+    compiler = AdaptCompiler(
+        mps_target, backend=MPSBackend(max_chi=2),
+        adapt_config=AdaptConfig(max_layers=40, sufficient_cost=1e-2))
+    result = compiler.compile_with_chi_schedule(chis=(2, 4))
+    assert result.overlap > 1 - 1e-2
+    assert result.independent_overlap is not None
+    sv_t = simulate(co.make_quantum_only_circuit(qc))
+    sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
+    assert abs(np.vdot(sv_t, sv_s)) ** 2 > 1 - 3e-2
+
+
+def test_compile_with_chi_schedule_accounting(monkeypatch):
+    """VERDICT r3 weak 6: time_taken must include the between-stage
+    _overlap_at_chi verification walls, and the returned result must always
+    carry independent_overlap — both on the early-exit path and when the
+    schedule runs to its final stage. Pure aggregation test: stage compiles
+    and the verifier are stubbed with known costs."""
+    import time as _time
+
+    class FakeResult:
+        def __init__(self, overlap, evals, t):
+            self.overlap = overlap
+            self.cost_evaluations = evals
+            self.time_taken = t
+            self.circuit = Circuit(4)
+            self.independent_overlap = None
+
+    qc = Circuit(4)
+    qc.h(0)
+    qc.cx(0, 1)
+
+    def run(stage_overlaps, verify_value, sufficient):
+        results = [FakeResult(ov, 100, 1.0) for ov in stage_overlaps]
+        calls = {"compile": 0, "verify": 0}
+
+        def fake_compile(self, initial_ansatz=None, **kw):
+            r = results[calls["compile"]]
+            calls["compile"] += 1
+            return r
+
+        def fake_verify(self, circuit, chi):
+            calls["verify"] += 1
+            _time.sleep(0.05)
+            return verify_value
+
+        monkeypatch.setattr(AdaptCompiler, "compile", fake_compile)
+        monkeypatch.setattr(AdaptCompiler, "_overlap_at_chi", fake_verify)
+        compiler = AdaptCompiler.__new__(AdaptCompiler)
+        # minimal state compile_with_chi_schedule touches
+        compiler.backend = MPSBackend(max_chi=8)
+        compiler.target = qc
+        compiler.starting_circuit = None
+        compiler.adapt_config = AdaptConfig(sufficient_cost=sufficient)
+        compiler._ctor_kwargs = dict(adapt_config=compiler.adapt_config)
+        return compiler.compile_with_chi_schedule(chis=(8, 16)), calls
+
+    # early exit: stage 1 converges, verifier confirms -> 1 verify call
+    res, calls = run([0.999, 0.999], 0.999, sufficient=1e-2)
+    assert res.independent_overlap == 0.999
+    assert res.cost_evaluations == 100
+    assert res.time_taken >= 1.0 + 0.05
+    assert len(res.chi_schedule) == 1
+
+    # full schedule: no stage converges -> final-stage verification is
+    # still recorded and its wall is still counted
+    res, calls = run([0.5, 0.6], 0.61, sufficient=1e-3)
+    assert res.independent_overlap == 0.61
+    assert res.cost_evaluations == 200
+    assert res.time_taken >= 2.0 + 0.05
+    assert [c for c, _ in res.chi_schedule] == [8, 16]

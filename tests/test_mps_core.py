@@ -304,3 +304,52 @@ def test_eigh_top_degenerate_clusters_full_rank():
         gram = Vn @ Vn.conj().T
         assert (np.linalg.norm(Vn, axis=1) > 0.5).all(), name
         assert np.abs(gram - np.eye(keep)).max() < 1e-2, name
+
+
+def test_regauge_grow_exact_and_shrink_truncates():
+    """regauge: growing is exact zero-padding; shrinking keeps the top
+    Schmidt values per bond (the chi-schedule hands engine-MPS targets to
+    stages of different working chi through this). Degenerate-spectrum
+    probes are mandatory for anything touching truncation (CLAUDE.md):
+    GHZ has bond rank 2, so chi 4 -> 2 is EXACT; two cross Bell pairs have
+    four EQUAL Schmidt values on the middle bond, so chi 4 -> 2 keeps
+    exactly half the weight (overlap 0.5 after renormalisation)."""
+    import jax.numpy as jnp
+
+    def state_of(qc, chi):
+        t = compile_tape(qc)
+        return mps_core.apply_tape(
+            mps_core.zero_mps(qc.num_qubits, chi), jnp.asarray(t.kinds),
+            jnp.asarray(t.q0), jnp.asarray(t.q1), jnp.asarray(t.angles),
+            1e-16)
+
+    def norm_overlap(a, b):
+        na = float(mps_core.mps_dot(a, a).re)
+        nb = float(mps_core.mps_dot(b, b).re)
+        return float(mps_core.mps_dot(a, b).abs2() / (na * nb))
+
+    # GHZ(4): bond rank 2 everywhere -> shrink 4->2 exact
+    ghz = Circuit(4)
+    ghz.h(0)
+    for q in range(3):
+        ghz.cx(q, q + 1)
+    s4 = state_of(ghz, 4)
+    s2 = mps_core.regauge(s4, 2)
+    assert s2.chi == 2
+    assert norm_overlap(s2, state_of(ghz, 2)) > 1 - 1e-5
+    # grow is exact
+    s8 = mps_core.regauge(s2, 8)
+    assert s8.chi == 8
+    assert norm_overlap(s8, mps_core.pad_chi(s4, 8)) > 1 - 1e-5
+    # two cross Bell pairs: middle bond has 4 equal Schmidt values; keeping
+    # 2 of 4 retains half the weight -> overlap 0.5 with the true state
+    bell2 = Circuit(4)
+    bell2.h(0)
+    bell2.h(1)
+    bell2.cx(0, 2)
+    bell2.cx(1, 3)
+    b4 = state_of(bell2, 4)
+    b2 = mps_core.regauge(b4, 2)
+    assert abs(norm_overlap(mps_core.pad_chi(b2, 4), b4) - 0.5) < 5e-2
+    # unit norm after shrink (from_qiskit_mps renormalises)
+    assert abs(float(mps_core.mps_dot(b2, b2).re) - 1.0) < 1e-4
