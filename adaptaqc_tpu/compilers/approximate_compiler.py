@@ -275,11 +275,21 @@ class ApproximateCompiler(ABC):
             co.add_classical_operations(final, self.original_circuit_classical_ops)
         return final
 
-    def compile_in_parts(self, max_depth_per_block=10) -> CompileInPartsResult:
+    def compile_in_parts(self, max_depth_per_block=10, initial_ansatz=None,
+                         start_part=0,
+                         part_callback=None) -> CompileInPartsResult:
         """Ladder compilation, following the reference's stated contract
         (approximate_compiler.py:321-331): part k approximately compiles the
         first k depth-blocks of the target, warm-started from part k-1's
         solution.
+
+        Beyond-reference resume support (a multi-hour 50q ladder must
+        survive a queue timeout): ``start_part=k`` skips compiling blocks
+        0..k-1 — their gates still extend the engine target prefix — and
+        warm-starts part k from ``initial_ansatz`` (the saved solution of a
+        previous run's part k-1). ``part_callback(i, result, circuit)``
+        fires after each part completes so callers can checkpoint the
+        carried solution; callback exceptions are the caller's problem.
 
         Deviation note (docs/PARITY.md): the reference's in-place loop
         (:343-366) inserts each block into the variational region of a
@@ -305,6 +315,15 @@ class ApproximateCompiler(ABC):
         logger.info(f"Circuit was split into {len(all_subcircuits)} parts to "
                     "compile sequentially")
 
+        if not 0 <= start_part < len(all_subcircuits):
+            raise ValueError(
+                f"start_part {start_part} out of range for "
+                f"{len(all_subcircuits)}-part division")
+        if start_part > 0 and initial_ansatz is None:
+            raise ValueError("resuming at start_part > 0 requires the "
+                             "previous run's carried solution as "
+                             "initial_ansatz")
+
         prefix = Circuit(gate_target.num_qubits)  # cumulative gate prefix
         prefix_state = None  # incrementally extended target MPS (MPS backends)
         last_compiled = None
@@ -317,15 +336,21 @@ class ApproximateCompiler(ABC):
                 part_target = prefix_state
             else:
                 part_target = prefix.copy()
+            if i < start_part:
+                continue  # resumed: this block was compiled in a prior run
             part_compiler = self._clone_with_target(part_target)
-            warm_start = (last_compiled if last_compiled is not None
-                          else self.starting_circuit)
+            warm_start = last_compiled
+            if warm_start is None:
+                warm_start = (initial_ansatz if initial_ansatz is not None
+                              else self.starting_circuit)
             result = part_compiler.compile(initial_ansatz=warm_start)
             last_compiled = result.circuit
             result.circuit = None
             individual_results.append(result)
             logger.info(f"Completed {100 * (i + 1) / len(all_subcircuits)}% "
                         "of recompilation")
+            if part_callback is not None:
+                part_callback(i, result, last_compiled)
 
         end_time = timeit.default_timer()
         return CompileInPartsResult(

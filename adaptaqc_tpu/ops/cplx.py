@@ -480,7 +480,7 @@ def set_eigh_impl(impl: str):
     Clears jit caches: compiled engine programs baked in the previous
     choice and would otherwise silently keep using it."""
     global EIGH_IMPL
-    if impl not in ("", "embed", "tridiag", "pallas"):
+    if impl not in ("", "embed", "tridiag", "pallas", "teig"):
         raise ValueError(f"unknown eigh impl {impl!r}")
     EIGH_IMPL = impl
     import jax
@@ -501,10 +501,24 @@ def svd_trunc(theta: C, chi_keep: int, threshold: float):
     m, n = theta.shape
     h = theta.H @ theta  # (n, n) Hermitian PSD
     impl = _eigh_impl()
-    if impl == "pallas":
+    if impl in ("pallas", "teig"):
         from . import pallas_eigh
-        if pallas_eigh.supported(n, theta.dtype) and _pallas_platform_ok():
-            w, vrows = pallas_eigh.eigh_top_pallas(h, chi_keep)
+        # ADAPTAQC_PALLAS_INTERPRET=1 runs the kernels in interpret mode on
+        # CPU — lets the test suite exercise the real TPU code paths
+        # end-to-end without a device
+        interp = bool(_os.environ.get("ADAPTAQC_PALLAS_INTERPRET"))
+        if pallas_eigh.supported(n, theta.dtype) and (
+                interp or _pallas_platform_ok()):
+            if impl == "teig":
+                # in-kernel tridiagonal eigensolver (Sturm bisection +
+                # pivoted inverse iteration): no dense native eigh at all.
+                # The dense eigh of T was 0.28 ms of the 0.61 ms 2q apply
+                # (benchmarks/apply_profile.py, chi=64 TPU v5e).
+                w, vrows = pallas_eigh.eigh_top_pallas_teig(
+                    h, chi_keep, interpret=interp)
+            else:
+                w, vrows = pallas_eigh.eigh_top_pallas(
+                    h, chi_keep, interpret=interp)
         else:
             # embed, not tridiag: the on-device A/B put tridiag behind both
             w, vrows = eigh_top(h, chi_keep)

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -188,6 +189,209 @@ def _backtransform_call(vcol_re, vcol_im, packed, z, interpret):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         interpret=interpret,
     )(vcol_re, vcol_im, packed, z)
+
+
+def _teig_kernel(packed, b0, w_out, z, du, u1, u2, mrow, swp, bb, dbc, ebc):
+    """Top-n eigenpairs of the REAL symmetric tridiagonal T carried in
+    `packed` (row 3 = diagonal d, row 2 = subdiagonal e, e[n-1] unused):
+    Sturm-count bisection for every eigenvalue (descending by lane) +
+    two rounds of partial-pivoted inverse iteration (dlagtf-style single
+    fill-in superdiagonal) + in-kernel CGS2. Validated against
+    numpy.linalg.eigh on Gram-spectrum edge cases (decades-spanning values,
+    exact degeneracies, decoupled zero bonds, flat spectra) in
+    benchmarks/teig_proto.py before kernelization.
+
+    Replaces the dense native eigh of T, which the apply-phase microprofile
+    measured at 0.28 ms of the 0.61 ms 2q apply (chi=64, TPU v5e) — the
+    single largest piece of the sweep wall.
+
+    Outputs: w_out (8, n) row 0 = eigenvalues descending; z (n, n) columns =
+    matching eigenvectors (all n computed; callers slice the top-keep).
+    Scratch: du/u1/u2 = U bands, mrow = multipliers, swp = pivot flags,
+    bb = rhs/solution, dbc/ebc = d and e broadcast to (n, n) rows for
+    dynamic-sublane reads (dynamic lane indexing is unsupported)."""
+    n = z.shape[0]
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    d_row = packed[3:4, :]
+    e_row = jnp.where(lane < n - 1, packed[2:3, :], 0.0)
+    # broadcast d / e across lanes, indexed by sublane (dbc[i, :] == d[i])
+    dbc[:] = jnp.sum(jnp.where(rowm == colm, d_row, 0.0), axis=1,
+                     keepdims=True) + jnp.zeros((n, n), f32)
+    ebc[:] = jnp.sum(jnp.where(rowm == colm, e_row, 0.0), axis=1,
+                     keepdims=True) + jnp.zeros((n, n), f32)
+
+    # Gershgorin interval; the Gram input is PSD so 0 is a valid floor, but
+    # keep the general lower bound for safety against f32 noise.
+    # e[j-1] at lane j needs a LANE shift: element [r, c] of ebc is e[r], so
+    # masking r == c-1 and reducing over rows lands e[c-1] at lane c.
+    e_left = jnp.sum(jnp.where(rowm == colm - 1, ebc[:], 0.0), axis=0,
+                     keepdims=True)
+    radius = jnp.abs(e_row) + jnp.abs(e_left)
+    lo0 = jnp.min(d_row - radius)
+    hi0 = jnp.max(d_row + radius)
+    scale = jnp.maximum(jnp.maximum(jnp.abs(lo0), jnp.abs(hi0)), 1e-30)
+    pivmin = jnp.maximum(1e-35, (1.2e-7 * scale) ** 2)
+
+    # ---- Sturm bisection: lane j converges onto the j-th LARGEST eigenvalue
+    los = jnp.zeros((1, n), f32) + lo0
+    his = jnp.zeros((1, n), f32) + hi0
+    target = (n - 1 - lane).astype(f32)
+
+    def bisect_round(_, carry):
+        los, his = carry
+        mid = 0.5 * (los + his)
+        q = dbc[0:1, :] - mid
+        q = jnp.where(jnp.abs(q) < pivmin, -pivmin, q)
+        cnt = (q < 0.0).astype(f32)
+
+        def sturm_step(i, qc):
+            q, cnt = qc
+            di = dbc[pl.ds(i, 1), :]
+            ei = ebc[pl.ds(i - 1, 1), :]
+            q = di - mid - (ei * ei) / q
+            q = jnp.where(jnp.abs(q) < pivmin, -pivmin, q)
+            return q, cnt + (q < 0.0).astype(f32)
+
+        _, cnt = jax.lax.fori_loop(1, n, sturm_step, (q, cnt))
+        above = cnt > target
+        return jnp.where(above, los, mid), jnp.where(above, mid, his)
+
+    los, his = jax.lax.fori_loop(0, 30, bisect_round, (los, his))
+    w = 0.5 * (los + his)
+    w_out[:] = jnp.zeros((8, n), f32) + w  # row 0 (all rows equal)
+
+    # ---- cluster separation for the inverse-iteration shifts -------------
+    # lam[j] = min_{l<=j} (w[l] - (j-l)*eps): coincident shifts split by ulps
+    eps = 1.2e-7 * scale
+    wcol = jnp.sum(jnp.where(rowm == colm, w, 0.0), axis=1, keepdims=True)
+    sepm = jnp.where(rowm <= colm,
+                     wcol - (colm - rowm).astype(f32) * eps, hi0 + scale)
+    lam = jnp.min(sepm, axis=0, keepdims=True)
+
+    def guard(v):
+        return jnp.where(jnp.abs(v) < pivmin,
+                         jnp.where(v >= 0, pivmin, -pivmin), v)
+
+    # ---- partial-pivoted LU of (T - lam I), vectorized over lanes ---------
+    def lu_step(i, carry):
+        a_i, s1_i = carry
+        a_next = dbc[pl.ds(i + 1, 1), :] - lam
+        s1_next = ebc[pl.ds(i + 1, 1), :]  # ebc row n-1 is zero-padded
+        r2_0 = ebc[pl.ds(i, 1), :]
+        swap = jnp.abs(r2_0) > jnp.abs(a_i)
+        top0 = guard(jnp.where(swap, r2_0, a_i))
+        top1 = jnp.where(swap, a_next, s1_i)
+        top2 = jnp.where(swap, s1_next, 0.0)
+        bot0 = jnp.where(swap, a_i, r2_0)
+        bot1 = jnp.where(swap, s1_i, a_next)
+        bot2 = jnp.where(swap, 0.0, s1_next)
+        m = bot0 / top0
+        du[pl.ds(i, 1), :] = top0
+        u1[pl.ds(i, 1), :] = top1
+        u2[pl.ds(i, 1), :] = top2
+        mrow[pl.ds(i, 1), :] = m
+        swp[pl.ds(i, 1), :] = swap.astype(f32)
+        return bot1 - m * top1, bot2 - m * top2
+
+    a_last, _ = jax.lax.fori_loop(
+        0, n - 1, lu_step, (dbc[0:1, :] - lam, ebc[0:1, :]))
+    du[pl.ds(n - 1, 1), :] = guard(a_last)
+
+    def solve_inplace():
+        """bb <- (T - lam I)^{-1} bb using the stored factors."""
+        def fwd(i, _):
+            m = mrow[pl.ds(i, 1), :]
+            sw = swp[pl.ds(i, 1), :] > 0.5
+            bi = bb[pl.ds(i, 1), :]
+            bi1 = bb[pl.ds(i + 1, 1), :]
+            bt = jnp.where(sw, bi1, bi)
+            bo = jnp.where(sw, bi, bi1)
+            bb[pl.ds(i, 1), :] = bt
+            bb[pl.ds(i + 1, 1), :] = bo - m * bt
+            return 0
+
+        jax.lax.fori_loop(0, n - 1, fwd, 0)
+        xn = bb[pl.ds(n - 1, 1), :] / du[pl.ds(n - 1, 1), :]
+        bb[pl.ds(n - 1, 1), :] = xn
+        xn1 = (bb[pl.ds(n - 2, 1), :] - u1[pl.ds(n - 2, 1), :] * xn) \
+            / du[pl.ds(n - 2, 1), :]
+        bb[pl.ds(n - 2, 1), :] = xn1
+
+        def back(t, _):
+            i = n - 3 - t
+            xi = (bb[pl.ds(i, 1), :]
+                  - u1[pl.ds(i, 1), :] * bb[pl.ds(i + 1, 1), :]
+                  - u2[pl.ds(i, 1), :] * bb[pl.ds(i + 2, 1), :]) \
+                / du[pl.ds(i, 1), :]
+            bb[pl.ds(i, 1), :] = xi
+            return 0
+
+        jax.lax.fori_loop(0, n - 2, back, 0)
+        # normalise columns (sum over sublanes)
+        nrm2 = jnp.sum(bb[:] * bb[:], axis=0, keepdims=True)
+        bb[:] = bb[:] * jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+
+    bb[:] = b0[:]
+    solve_inplace()
+    solve_inplace()
+
+    # ---- CGS2 across columns (descending order keeps clusters contiguous) -
+    def cgs_step(j, _):
+        selj = (colm == j).astype(f32)
+        xj = jnp.sum(bb[:] * selj, axis=1, keepdims=True)
+        prevm = (colm < j).astype(f32)
+
+        def project(v):
+            ov = jnp.sum(bb[:] * v, axis=0, keepdims=True) * prevm
+            return v - jnp.sum(bb[:] * ov, axis=1, keepdims=True)
+
+        v = project(project(xj))
+        nrm2 = jnp.sum(v * v)
+        v = v * jax.lax.rsqrt(jnp.maximum(nrm2, 1e-30))
+        bb[:] = jnp.where(colm == j, v, bb[:])
+        return 0
+
+    jax.lax.fori_loop(1, n, cgs_step, 0)
+    z[:] = bb[:]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _teig_call(packed, b0, interpret):
+    n = b0.shape[0]
+    shp = jax.ShapeDtypeStruct((n, n), jnp.float32)
+    return pl.pallas_call(
+        _teig_kernel,
+        out_shape=[jax.ShapeDtypeStruct((8, n), jnp.float32), shp],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.float32) for _ in range(8)],
+        interpret=interpret,
+    )(packed, b0)
+
+
+@functools.lru_cache(maxsize=16)
+def _teig_b0(n: int):
+    rng = np.random.default_rng(181818)
+    return jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+
+
+def eigh_top_pallas_teig(h: C, keep: int, interpret: bool = False):
+    """eigh_top via Pallas tridiagonalization + the in-kernel tridiagonal
+    eigensolver (no dense native eigh anywhere). Same contract as
+    cplx.eigh_top: (w descending (keep,), V rows C (keep, n))."""
+    n = h.shape[-1]
+    hre = (h.re + h.re.T) * 0.5
+    him = (h.im - h.im.T) * 0.5
+    _, _, vcr, vci, packed = _tridiag_call(hre, him, interpret)
+    wp, z = _teig_call(packed, _teig_b0(n), interpret)
+    w = wp[0, :keep]
+    zk = z[:, :keep]
+    vr, vi = _backtransform_call(vcr, vci, packed, zk, interpret)
+    return w, C(vr.T, vi.T)
 
 
 def eigh_top_pallas(h: C, keep: int, interpret: bool = False):

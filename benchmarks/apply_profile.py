@@ -53,9 +53,30 @@ def _descendants(pid):
     return out
 
 
+def _own_tree():
+    """This process, its ancestors, and its descendants — never SIGSTOP
+    any of these (2026-08-19: the profiler ran as a queue stage, matched
+    its own runner's pidfile, and froze itself + its timeout watchdog,
+    deadlocking the whole queue)."""
+    own = {os.getpid()}
+    pid = os.getpid()
+    while pid > 1:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                ppid = next(int(l.split()[1]) for l in f
+                            if l.startswith("PPid:"))
+        except (OSError, StopIteration):
+            break
+        own.add(ppid)
+        pid = ppid
+    own.update(_descendants(os.getpid()))
+    return own
+
+
 @contextlib.contextmanager
 def paused_queue_jobs():
     paused = []
+    skip = _own_tree()
     for pf in (glob.glob("/tmp/*seed_queue*.pid")
                + glob.glob("/tmp/ladder*.pid")):
         try:
@@ -64,6 +85,8 @@ def paused_queue_jobs():
         except (OSError, ValueError):
             continue
         for pid in _descendants(root):
+            if pid in skip:
+                continue
             try:
                 os.kill(pid, signal.SIGSTOP)
                 paused.append(pid)
@@ -79,18 +102,33 @@ def paused_queue_jobs():
                 pass
 
 
-def slope_ms(fn, args_a, args_b, k1=8, k2=40):
-    """Wall-clock slope per iteration between k1 and k2 fused repetitions."""
+def slope_ms(fn, make_args, k1=50, k2=450, reps=3):
+    """Wall-clock slope per iteration between k1 and k2 fused repetitions.
+    The axon relay adds ~33-70 ms of per-call sync jitter AND memoizes
+    byte-identical executions (CLAUDE.md), so every call gets fresh salted
+    inputs from make_args(i) and the trip-count difference must represent
+    >>100 ms of device work; the slope is the median over `reps` pairs."""
     import jax
 
-    fn(k1, *args_a)  # compile both trip counts
-    fn(k2, *args_a)
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(k1, *args_b))
-    t1 = time.perf_counter()
-    jax.block_until_ready(fn(k2, *args_b))
-    t2 = time.perf_counter()
-    return ((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3
+    jax.block_until_ready(fn(k1, *make_args(0)))  # compile both trip counts
+    jax.block_until_ready(fn(k2, *make_args(1)))
+    slopes = []
+    for i in range(reps):
+        a1 = make_args(2 + 2 * i)
+        a2 = make_args(3 + 2 * i)
+        jax.block_until_ready(a1)
+        jax.block_until_ready(a2)
+        t0 = time.perf_counter()
+        v1 = jax.block_until_ready(fn(k1, *a1))
+        t1 = time.perf_counter()
+        v2 = jax.block_until_ready(fn(k2, *a2))
+        t2 = time.perf_counter()
+        print(f"  rep{i}: k{k1} {1e3 * (t1 - t0):.1f}ms k{k2} "
+              f"{1e3 * (t2 - t1):.1f}ms v {float(np.ravel(v1)[0]):.6g} "
+              f"{float(np.ravel(v2)[0]):.6g}", file=sys.stderr)
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1) * 1e3)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def main():
@@ -105,21 +143,27 @@ def main():
     chi = int(os.environ.get("PROFILE_CHI", 64))
     n = int(os.environ.get("PROFILE_N", 50))
     m = 2 * chi
-    rng = np.random.default_rng(0)
+    # UNSEEDED rng: the axon relay memoizes identical executions
+    # PERSISTENTLY across processes, so deterministic inputs replay from the
+    # worker's cache and measure nothing (observed 2026-08-19: fresh salts
+    # 1e-6*i returned in 0.1 ms after an earlier run executed them)
+    rng = np.random.default_rng()
 
     def rand_c(*shape):
         return C(jnp.asarray(rng.normal(size=shape), jnp.float32),
                  jnp.asarray(rng.normal(size=shape), jnp.float32))
 
     # a generic dense theta (worst-case spectrum is irrelevant for timing)
-    theta_a, theta_b = rand_c(m, m), rand_c(m, m)
-    herm_a = theta_a.H @ theta_a
-    herm_b = theta_b.H @ theta_b
+    theta0 = rand_c(m, m)
+    herm0 = theta0.H @ theta0
+
+    def salted(base):
+        return lambda i: (C(base.re + np.float32(1e-6 * (i + 1)),
+                            base.im),)
 
     results = {}
 
     # --- gram: theta^H theta --------------------------------------------
-    @jax.jit
     def gram_k(k, t):
         def body(x, _):
             h = x.H @ x
@@ -129,7 +173,7 @@ def main():
         return x.re[0, 0]
 
     gk = jax.jit(gram_k, static_argnums=0)
-    results["gram_ms"] = slope_ms(gk, (theta_a,), (theta_b,))
+    results["gram_ms"] = slope_ms(gk, salted(theta0))
 
     # --- pallas tridiag ---------------------------------------------------
     def tri_k(k, h):
@@ -141,7 +185,7 @@ def main():
         return x.re[0, 0]
 
     tk = jax.jit(tri_k, static_argnums=0)
-    results["tridiag_ms"] = slope_ms(tk, (herm_a,), (herm_b,))
+    results["tridiag_ms"] = slope_ms(tk, salted(herm0))
 
     # --- native real eigh of dense T (m x m) ------------------------------
     d0 = jnp.asarray(rng.normal(size=m), jnp.float32)
@@ -157,7 +201,22 @@ def main():
         return x[0, 0] + zs[-1]
 
     ek = jax.jit(eighT_k, static_argnums=0)
-    results["eigh_T_ms"] = slope_ms(ek, (d0, e0), (d0 * 1.1, e0))
+    results["eigh_T_ms"] = slope_ms(
+        ek, lambda i: (d0 + np.float32(1e-6 * (i + 1)), e0))
+
+    # --- pallas teig (in-kernel tridiagonal eigensolver) --------------------
+    def teig_k(k, h):
+        def body(x, _):
+            _, _, vcr, vci, packed = pallas_eigh._tridiag_call(
+                x.re, x.im, False)
+            wp, z = pallas_eigh._teig_call(packed, pallas_eigh._teig_b0(m),
+                                           False)
+            return C(x.re + wp[0, 0] * 1e-20, x.im), None
+        x, _ = lax.scan(body, h, None, length=k)
+        return x.re[0, 0]
+
+    qk = jax.jit(teig_k, static_argnums=0)
+    results["tridiag_plus_teig_ms"] = slope_ms(qk, salted(herm0))
 
     # --- svd_trunc (full) --------------------------------------------------
     def svd_k(k, t):
@@ -168,12 +227,11 @@ def main():
         return x.re[0, 0]
 
     sk = jax.jit(svd_k, static_argnums=0)
-    results["svd_trunc_ms"] = slope_ms(sk, (theta_a,), (theta_b,))
+    results["svd_trunc_ms"] = slope_ms(sk, salted(theta0))
 
     # --- full adjacent 2q apply -------------------------------------------
     state = mps_core.zero_mps(n, chi)
-    u4_a = rand_c(4, 4)
-    u4_b = rand_c(4, 4)
+    u4_0 = rand_c(4, 4)
 
     def apply_k(k, st, u4):
         def body(x, i):
@@ -182,10 +240,12 @@ def main():
         return x.lam[1, 0]
 
     ak = jax.jit(apply_k, static_argnums=0)
-    results["apply_2q_ms"] = slope_ms(ak, (state, u4_a), (state, u4_b))
+    results["apply_2q_ms"] = slope_ms(
+        ak, lambda i: (state, C(u4_0.re + np.float32(1e-6 * (i + 1)),
+                                u4_0.im)))
 
     # --- 1q apply ----------------------------------------------------------
-    u2_a, u2_b = rand_c(2, 2), rand_c(2, 2)
+    u2_0 = rand_c(2, 2)
 
     def apply1_k(k, st, u2):
         def body(x, i):
@@ -194,7 +254,9 @@ def main():
         return x.b.re[0, 0, 0, 0]
 
     a1 = jax.jit(apply1_k, static_argnums=0)
-    results["apply_1q_ms"] = slope_ms(a1, (state, u2_a), (state, u2_b))
+    results["apply_1q_ms"] = slope_ms(
+        a1, lambda i: (state, C(u2_0.re + np.float32(1e-6 * (i + 1)),
+                                u2_0.im)))
 
     results.update(chi=chi, n=n, platform=jax.default_backend(),
                    device=str(jax.devices()[0].device_kind

@@ -34,8 +34,8 @@ fi
 if [ -e /tmp/adaptaqc_bench.lock ]; then
   holder_alive=0
   for f in /tmp/round3_ab_seed_queue.pid /tmp/round3_followup_seed_queue.pid \
-           /tmp/round4_flagship_seed_queue.pid /tmp/ladder_n50.pid \
-           /tmp/spin_ab.pid; do
+           /tmp/round4_flagship_seed_queue.pid /tmp/round4_main_seed_queue.pid \
+           /tmp/ladder_n50.pid /tmp/spin_ab.pid; do
     alive "$f" && holder_alive=1
   done
   # bench.py writes its own pid into the lock

@@ -113,6 +113,11 @@ def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
         # trajectories are chaotically start-sensitive; variant k > 0 retries
         # the same problem from a state-identical (global-phase-only) start
         start_variant=int(os.environ.get("RMPS_START_VARIANT", 0)),
+        # RMPS_LOCAL=1: train on the local (per-qubit) cost — the
+        # reference's barren-plateau answer for large n
+        # (docs/running_options_explained.md local_cost_function section);
+        # result.overlap stays the global overlap either way
+        optimise_local_cost=bool(int(os.environ.get("RMPS_LOCAL", "0"))),
     )
     t0 = time.time()
     result = compiler.compile()
@@ -195,6 +200,7 @@ def main():
             "phase_timings": {k: round(v, 1) for k, v in
                               getattr(result, "phase_timings", {}).items()},
             "zigzag": bool(int(os.environ.get("ADAPTAQC_ZIGZAG", "0"))),
+            "local_cost": bool(int(os.environ.get("RMPS_LOCAL", "0"))),
             "start_variant": int(os.environ.get("RMPS_START_VARIANT", 0)),
             "sufficient_cost": float(os.environ.get("RMPS_SUFF", 9.5e-3)),
             "circuit": circ_path,

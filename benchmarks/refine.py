@@ -85,7 +85,11 @@ def refine(seed):
     compiler = AdaptCompiler(
         qmps, backend=backend, adapt_config=config,
         coupling_map=generate_coupling_map(n, CMAP_LINEAR),
-        custom_layer_2q_gate=identity_resolvable())
+        custom_layer_2q_gate=identity_resolvable(),
+        # REFINE_LOCAL=1: train the refinement on the local (per-qubit)
+        # cost (reference local_cost_function; barren-plateau answer);
+        # recorded overlap stays global
+        optimise_local_cost=bool(int(os.environ.get("REFINE_LOCAL", "0"))))
     t0 = time.time()
     result = compiler.compile(initial_ansatz=ansatz)
     wall = time.time() - t0

@@ -139,7 +139,35 @@ def main():
         # starts from the carried solution at O(0.1-0.5) overlap.
         step_depth = trotter_circuit(n, 1, dt, delta=delta, h=hfield).depth()
         block_depth = int(os.environ.get("SPIN_BLOCK_DEPTH", step_depth))
-        result = compiler.compile_in_parts(max_depth_per_block=block_depth)
+        # resume a timed-out ladder: SPIN_RESUME_FROM=<circuits/....qasm.gz>
+        # (a part checkpoint saved below) + SPIN_RESUME_PART=<next part idx>
+        resume_from = os.environ.get("SPIN_RESUME_FROM")
+        start_part = int(os.environ.get("SPIN_RESUME_PART", "0"))
+        resume_ansatz = None
+        if resume_from:
+            import gzip
+            from adaptaqc_tpu.circuits import qasm as _qasm
+            from adaptaqc_tpu.circuits.operations import \
+                make_quantum_only_circuit
+            here = os.path.dirname(os.path.abspath(__file__))
+            with gzip.open(os.path.join(here, resume_from), "rt") as f:
+                resume_ansatz = make_quantum_only_circuit(
+                    _qasm.loads(f.read()))
+
+        def _checkpoint_part(i, part_result, circuit):
+            # a multi-hour ladder must not lose completed parts to a queue
+            # timeout: persist each carried solution as it lands
+            class _Shim:  # save_circuit reads .circuit_qasm / .circuit
+                circuit_qasm = None
+            shim = _Shim()
+            shim.circuit = circuit
+            path = _save_circuit(shim, f"spin_n{n}_s{steps}_part{i}")
+            print(f"part {i}: overlap={part_result.overlap:.4f} "
+                  f"checkpoint={path}", file=sys.stderr, flush=True)
+
+        result = compiler.compile_in_parts(
+            max_depth_per_block=block_depth, initial_ansatz=resume_ansatz,
+            start_part=start_part, part_callback=_checkpoint_part)
         result.qubit_pair_history = [
             p for r in result.individual_results for p in r.qubit_pair_history]
         result.cost_evaluations = sum(

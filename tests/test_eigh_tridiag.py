@@ -210,3 +210,106 @@ def test_mps_engine_equivalence_under_tridiag():
     finally:
         cplx.EIGH_IMPL = old
         jax.clear_caches()
+
+
+@pytest.mark.parametrize("case", ["rand", "spec7", "flat", "lowrank",
+                                  "decoupled"])
+def test_teig_matches_numpy_interpret(case):
+    """The in-kernel tridiagonal eigensolver (Sturm bisection + pivoted
+    inverse iteration, interpret mode) agrees with numpy.linalg.eigh:
+    eigenvalues, orthonormality, residuals, and top-subspace recovery on
+    degenerate/decoupled Gram spectra (the svd_trunc input class)."""
+    from adaptaqc_tpu.ops import pallas_eigh
+
+    rng = np.random.default_rng(7)
+    n = 32
+    if case == "rand":
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        h = a.conj().T @ a
+    elif case == "spec7":
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        u, _, vh = np.linalg.svd(a)
+        th = (u * np.logspace(0, -7, n)) @ vh
+        h = th.conj().T @ th
+    elif case == "flat":
+        h = np.eye(n, dtype=complex)
+    elif case == "lowrank":
+        a = rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+        h = a @ a.conj().T
+    else:  # decoupled: exact zero bond splits T into independent blocks
+        a = rng.standard_normal((n, n))
+        h = a.T @ a
+        h[: n // 2, n // 2:] = 0.0
+        h[n // 2:, : n // 2] = 0.0
+        h = h.astype(complex)
+    hc = _as_c(h, jnp.float32)
+    keep = n // 2
+    w_p, v_p = pallas_eigh.eigh_top_pallas_teig(hc, keep, interpret=True)
+    wx = np.linalg.eigh(np.asarray(hc.re) + 1j * np.asarray(hc.im))[0][::-1]
+    w_p = np.asarray(w_p)
+    scale = max(1e-30, np.abs(wx).max())
+    assert np.abs(w_p - wx[:keep]).max() / scale < 2e-5
+    V = np.asarray(v_p.re) + 1j * np.asarray(v_p.im)
+    assert np.abs(V @ V.conj().T - np.eye(keep)).max() < 2e-4
+    for i in range(4):
+        assert np.linalg.norm(h @ V[i] - w_p[i] * V[i]) / scale < 2e-4
+
+
+def test_svd_trunc_teig_equivalence_bell_ghz():
+    """svd_trunc under the teig impl reproduces the embed impl's truncated
+    factorisation on the degenerate Bell theta and a random one (interpret
+    mode via the CPU conftest platform)."""
+    rng = np.random.default_rng(4)
+    thetas = []
+    th = np.zeros((8, 8), complex)
+    th[0, 0] = th[7, 7] = 1 / np.sqrt(2)
+    thetas.append(th)  # Bell-type: exactly degenerate kept pair
+    a = rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
+    thetas.append(a / np.linalg.norm(a))
+    from adaptaqc_tpu.ops import pallas_eigh
+
+    for th in thetas:
+        tc = cplx.C(jnp.asarray(th.real, jnp.float32),
+                    jnp.asarray(th.imag, jnp.float32))
+        n = th.shape[0]
+        keep = n // 2
+        h = tc.H @ tc
+        w_t, v_t = pallas_eigh.eigh_top_pallas_teig(h, keep, interpret=True)
+        w_e, _ = cplx.eigh_top(h, keep)
+        np.testing.assert_allclose(np.asarray(w_t), np.asarray(w_e),
+                                   atol=1e-5)
+        # kept-subspace reconstruction: theta P == theta for full-rank-kept
+        V = np.asarray(v_t.re) + 1j * np.asarray(v_t.im)
+        P = V.conj().T @ V
+        if np.linalg.matrix_rank(th) <= keep:
+            np.testing.assert_allclose(th @ P, th, atol=1e-5)
+
+
+def test_mps_engine_equivalence_under_teig(monkeypatch):
+    """End-to-end MPS simulation with the full teig path (tridiag kernel +
+    in-kernel tridiagonal eigensolver, interpret mode on CPU via
+    ADAPTAQC_PALLAS_INTERPRET) matches the dense statevector, including GHZ
+    (exactly degenerate Schmidt values at every bond)."""
+    from test_mps_core import run_mps
+    from test_sv_core import random_circuit, simulate
+    from adaptaqc_tpu.backends import mps_core
+    from adaptaqc_tpu.circuits.circuit import Circuit
+
+    ghz = Circuit(5)
+    ghz.h(0)
+    for i in range(4):
+        ghz.cx(i, i + 1)
+    rng = np.random.default_rng(13)
+    rand = random_circuit(5, 25, rng)
+
+    monkeypatch.setenv("ADAPTAQC_PALLAS_INTERPRET", "1")
+    old = cplx.EIGH_IMPL
+    try:
+        cplx.set_eigh_impl("teig")  # clears jit caches
+        for qc in (ghz, rand):
+            st = run_mps(qc, 8)
+            np.testing.assert_allclose(mps_core.to_dense(st), simulate(qc),
+                                       atol=1e-5)
+    finally:
+        monkeypatch.delenv("ADAPTAQC_PALLAS_INTERPRET")
+        cplx.set_eigh_impl(old)

@@ -390,3 +390,40 @@ def test_compile_with_chi_schedule_accounting(monkeypatch):
     assert res.cost_evaluations == 200
     assert res.time_taken >= 2.0 + 0.05
     assert [c for c, _ in res.chi_schedule] == [8, 16]
+
+
+def test_compile_in_parts_resume_matches_straight_run():
+    """Ladder resume (beyond-reference: a multi-hour ladder must survive a
+    queue timeout): run parts 0..k-1, then resume at part k from the carried
+    solution — the resumed run converges like the straight run, and the
+    part_callback checkpoints every completed part."""
+    rng = np.random.default_rng(31)
+    qc = random_circuit(3, 14, rng)
+
+    saved = {}
+
+    def grab(i, part_result, circuit):
+        saved[i] = (part_result.overlap, circuit.copy())
+
+    straight = AdaptCompiler(qc).compile_in_parts(
+        max_depth_per_block=5, part_callback=grab)
+    n_parts = len(straight.individual_results)
+    assert set(saved) == set(range(n_parts))
+    assert straight.overlap > 1 - 5e-2
+
+    # resume from part 1 using part 0's checkpointed carried solution
+    resumed = AdaptCompiler(qc).compile_in_parts(
+        max_depth_per_block=5, initial_ansatz=saved[0][1], start_part=1)
+    assert len(resumed.individual_results) == n_parts - 1
+    assert resumed.overlap > 1 - 5e-2
+
+
+def test_compile_in_parts_resume_validates_args():
+    rng = np.random.default_rng(33)
+    qc = random_circuit(3, 14, rng)
+    compiler = AdaptCompiler(qc)
+    with pytest.raises(ValueError, match="initial_ansatz"):
+        compiler.compile_in_parts(max_depth_per_block=3, start_part=1)
+    with pytest.raises(ValueError, match="out of range"):
+        compiler.compile_in_parts(max_depth_per_block=5, start_part=99,
+                                  initial_ansatz=qc)
