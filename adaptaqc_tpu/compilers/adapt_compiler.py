@@ -122,7 +122,8 @@ class AdaptCompiler(ApproximateCompiler):
         # and an optional jax.profiler trace of the whole compile
         self.profile_dir = profile_dir
         self.phase_timings = {"pair_selection": 0.0, "layer_optimisation": 0.0,
-                              "window_rotosolve": 0.0, "absorption": 0.0}
+                              "window_rotosolve": 0.0, "absorption": 0.0,
+                              "global_polish": 0.0}
 
         if self.is_mps_backend:
             # gates absorbed into the MPS prefix still need to appear in the
@@ -665,8 +666,14 @@ class AdaptCompiler(ApproximateCompiler):
                 timeit.default_timer() - t0
             if (self.adapt_config.rotosolve_frequency != 0 and index > 0
                     and index % self.adapt_config.rotosolve_frequency == 0):
+                # under the local cost the probe sweep is O(W^2) per cycle
+                # (no O(G) environment trick for per-qubit costs): clamp the
+                # window to local_window_layers — the periodic global polish
+                # below covers the full max_layers_to_modify window instead
+                window_cap = (self.adapt_config.local_window_layers
+                              if self.optimise_local_cost else None)
                 multi_indexes = self._calculate_multi_layer_optimisation_indices(
-                    ansatz_start_index)
+                    ansatz_start_index, max_layers=window_cap)
                 if self.use_advanced_transpilation:
                     from ..circuits.peephole import advanced_circuit_transpilation
                     variational = co.extract_inner_circuit(
@@ -682,6 +689,30 @@ class AdaptCompiler(ApproximateCompiler):
                     tol=self.adapt_config.rotosolve_tol, stop_val=stop_val,
                     indexes_to_modify=multi_indexes)
                 self.phase_timings["window_rotosolve"] += \
+                    timeit.default_timer() - t0
+            gpf = self.adapt_config.global_polish_frequency
+            if (self.optimise_local_cost and gpf and index > 0
+                    and index % gpf == 0
+                    # only the device overlap sweep optimises the right
+                    # objective under force_global; without it (SV/host
+                    # paths) minimize_cost would fall through to the local
+                    # probe loop and "polish" the wrong cost
+                    and self.minimizer._can_fast_sweep(force_global=True)):
+                # hybrid schedule (beyond-reference): the local cost gives
+                # trainable per-layer signal at large n (the reference's own
+                # barren-plateau argument, docs/running_options_explained.md
+                # local_cost_function), while a periodic GLOBAL-cost
+                # Rotosolve over the full window — the O(G) device sweep —
+                # consolidates toward the actual overlap objective
+                full_indexes = self._calculate_multi_layer_optimisation_indices(
+                    ansatz_start_index)
+                t0 = timeit.default_timer()
+                self.minimizer.minimize_cost(
+                    algorithm_kind=vconstants.ALG_ROTOSOLVE,
+                    tol=self.adapt_config.rotosolve_tol,
+                    stop_val=self.adapt_config.sufficient_cost,
+                    indexes_to_modify=full_indexes, force_global=True)
+                self.phase_timings["global_polish"] += \
                     timeit.default_timer() - t0
         else:
             cost = self.minimizer.minimize_cost(
@@ -717,9 +748,13 @@ class AdaptCompiler(ApproximateCompiler):
                             - self.adapt_config.max_layers_to_modify + 1)
         return len([i for i in self.layers_as_gates if i < lowest_index])
 
-    def _calculate_multi_layer_optimisation_indices(self, ansatz_start_index):
-        """adapt_compiler.py:717-741."""
-        num_entangling = (self.adapt_config.max_layers_to_modify
+    def _calculate_multi_layer_optimisation_indices(self, ansatz_start_index,
+                                                    max_layers=None):
+        """adapt_compiler.py:717-741. `max_layers` overrides
+        max_layers_to_modify (the local-cost window clamp)."""
+        if max_layers is None:
+            max_layers = self.adapt_config.max_layers_to_modify
+        num_entangling = (max_layers
                           - int(self.initial_single_qubit_layer))
         num_isql_gates = (self.full_circuit.num_qubits
                           * int(self.initial_single_qubit_layer))

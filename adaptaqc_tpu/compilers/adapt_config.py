@@ -23,6 +23,8 @@ class AdaptConfig:
         rotoselect_tol=1e-5,
         rotosolve_tol=1e-3,
         entanglement_threshold=1e-8,
+        local_window_layers=16,
+        global_polish_frequency=10,
     ):
         """
         ADAPT-AQC termination criteria.
@@ -40,6 +42,18 @@ class AdaptConfig:
         :param rotosolve_frequency: run Rotosolve after every n layers.
         :param rotoselect_tol / rotosolve_tol: per-cycle improvement tolerances.
         :param entanglement_threshold: ISL treats entanglement below this as 0.
+        :param local_window_layers: under optimise_local_cost, the trailing
+            window the LOCAL-cost Rotosolve touches. The full-cost probe
+            sweep is O(W^2) per cycle (no O(G) environment trick exists for
+            per-qubit costs), so the local window must be much smaller than
+            max_layers_to_modify. Beyond-reference: the reference's local
+            cost runs host probes at the same window and is simply slow.
+        :param global_polish_frequency: under optimise_local_cost, run a
+            GLOBAL-cost Rotosolve over the full max_layers_to_modify window
+            every n layers (the O(G) device sweep). The local cost supplies
+            trainable per-layer signal at large n (barren-plateau answer);
+            the periodic global polish consolidates toward the actual
+            overlap objective. 0 disables.
         """
         self.bad_qubit_pair_memory = bad_qubit_pair_memory
         self.max_layers = max_layers
@@ -57,6 +71,8 @@ class AdaptConfig:
         self.entanglement_threshold = entanglement_threshold
         self.reuse_exponent = reuse_exponent
         self.reuse_priority_mode = reuse_priority_mode.lower()
+        self.local_window_layers = local_window_layers
+        self.global_polish_frequency = global_polish_frequency
 
     def __repr__(self):
         rep = f"{self.__class__.__name__}("

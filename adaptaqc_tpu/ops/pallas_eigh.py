@@ -375,8 +375,11 @@ def _teig_call(packed, b0, interpret):
 
 @functools.lru_cache(maxsize=16)
 def _teig_b0(n: int):
+    """Fixed random inverse-iteration rhs. Cached as NUMPY: caching a jnp
+    array created during a jit trace leaks that trace's tracer into later
+    traces (UnexpectedTracerError, seen 2026-08-19 in apply_profile)."""
     rng = np.random.default_rng(181818)
-    return jnp.asarray(rng.normal(size=(n, n)), jnp.float32)
+    return rng.normal(size=(n, n)).astype(np.float32)
 
 
 def eigh_top_pallas_teig(h: C, keep: int, interpret: bool = False):

@@ -59,12 +59,15 @@ class CostMinimiser:
     def minimize_cost(self, algorithm_kind=vconstants.ALG_ROTOSOLVE,
                       algorithm_identifier=None, max_cycles=1000,
                       stop_val=-np.inf, tol=1e-10, indexes_to_modify=None,
-                      alg_kwargs=None):
+                      alg_kwargs=None, force_global=False):
+        """force_global=True optimises the plain global overlap cost even
+        when the compiler is in local/softened mode — the hybrid schedule's
+        periodic consolidation pass (adapt_compiler global_polish)."""
         if alg_kwargs is None:
             alg_kwargs = {}
         if algorithm_kind in (vconstants.ALG_ROTOSOLVE, vconstants.ALG_ROTOSELECT):
             rotoselect = algorithm_kind == vconstants.ALG_ROTOSELECT
-            if self._can_fast_sweep():
+            if self._can_fast_sweep(force_global=force_global):
                 return self._roto_device(rotoselect, max_cycles, stop_val, tol,
                                          indexes_to_modify)
             if self._can_full_sweep(rotoselect):
@@ -82,9 +85,10 @@ class CostMinimiser:
         raise ValueError(f"Invalid algorithm kind {algorithm_kind}")
 
     # ------------------------------------------------------ device fast path
-    def _can_fast_sweep(self) -> bool:
+    def _can_fast_sweep(self, force_global=False) -> bool:
         comp = self.compiler
-        if comp.optimise_local_cost or comp.soften_global_cost:
+        if ((comp.optimise_local_cost or comp.soften_global_cost)
+                and not force_global):
             return False
         if comp.backend.sweep_engine() is None:
             return False
@@ -171,15 +175,16 @@ class CostMinimiser:
         dt = angles.dtype
         weights = jnp.asarray(self._cost_weights(), dt)
 
-        init_state = comp._current_cache
-        init_state = () if init_state is None else init_state
-
-        logger.info(f"Starting {alg_name} (full-cost device path)")
+        logger.info(f"Starting {alg_name} (full-cost device path, chunked)")
+        # host-driven chunked cycles: one fused whole-history program
+        # (sweep_full_until_converged) runs O(cycles * G^2/2) applies in a
+        # SINGLE device execution — minutes of wall at padded G >= 512,
+        # which the axon worker killed in both n=50 local-cost outings
         (kinds, angles, cost_dev, cycles, evals,
-         final_state) = sweeps.sweep_full_until_converged(
+         final_state) = sweeps.sweep_full_chunked_until_converged(
             engine, rotoselect, int(max_cycles), prefix, ref, kinds, q0, q1,
             angles, jnp.asarray(full_mask), jnp.asarray(stop_val, dt),
-            jnp.asarray(tol, dt), weights, init_state)
+            jnp.asarray(tol, dt), weights)
         comp.cost_evaluation_counter += int(evals)
         cost = float(cost_dev)
         logger.info(f"{alg_name} ran {int(cycles)} full-cost cycles on device")

@@ -37,7 +37,7 @@ from jax import lax
 
 from ..circuits import gates as G
 from ..ops import cplx
-from .sinusoidal import minimum_of_sinusoidal_dev
+from .sinusoidal import has_stopped_improving, minimum_of_sinusoidal_dev
 
 
 class EnvOps(NamedTuple):
@@ -553,12 +553,17 @@ def _probe_specs(rotoselect: bool, kind):
     return kinds, angles
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def sweep_full(engine: SweepEngine, rotoselect: bool, prefix_state, ref_state,
-               kinds, q0s, q1s, angles, select, weights):
-    """One full-cost Rotosolve/Rotoselect cycle. `weights` = (w_global,
-    w_local, alpha). Returns (new_kinds, new_angles, final_cost, final_state,
-    n_evals)."""
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def sweep_full_chunk(engine: SweepEngine, rotoselect: bool, chunk_len: int,
+                     k_start, l_state_in, ref_state, kinds, q0s, q1s, angles,
+                     select, weights):
+    """Gates k_start .. k_start+chunk_len-1 of one full-cost cycle, as ONE
+    bounded device call. A whole-tape cycle at padded G >= 512 is O(G^2/2)
+    batched applies in a single execution — minutes of device wall, which
+    the axon worker killed in both n=50 outings (docs/tpu_design_notes.md
+    round-4 operational lessons). The host drives chunks, carrying the
+    left state between calls; one compile serves every chunk of a given
+    (tape bucket, chunk_len). Returns (kinds, angles, l_state_out, evals)."""
     Gp = kinds.shape[0]
     wg, wl, alpha = weights[0], weights[1], weights[2]
 
@@ -569,12 +574,14 @@ def sweep_full(engine: SweepEngine, rotoselect: bool, prefix_state, ref_state,
     apply_batch = jax.vmap(engine.apply, in_axes=(0, None, None, None, None))
     apply_probes = jax.vmap(engine.apply, in_axes=(None, 0, None, None, 0))
 
-    def gate_step(carry, k_idx):
+    def gate_step(carry, step_i):
         l_state, ks, angs, evals = carry
+        k_idx = k_start + step_i
+        k_idx = jnp.minimum(k_idx, Gp - 1)  # tail chunk: clamp, mask below
         kind = ks[k_idx]
         a, b = q0s[k_idx], q1s[k_idx]
         th = angs[k_idx]
-        sel = select[k_idx]
+        sel = select[k_idx] & (k_start + step_i < Gp)
 
         def probed(args):
             l_state, ks, angs = args
@@ -614,13 +621,84 @@ def sweep_full(engine: SweepEngine, rotoselect: bool, prefix_state, ref_state,
         nk, na, ne = lax.cond(sel, probed, skipped, (l_state, ks, angs))
         ks = ks.at[k_idx].set(nk)
         angs = angs.at[k_idx].set(na)
-        l_state = engine.apply(l_state, nk, a, b, na)
+        # tail chunk past Gp: k_idx is clamped to Gp-1, so re-applying would
+        # corrupt the carried state — skip the apply entirely
+        l_state = lax.cond(k_start + step_i < Gp,
+                           lambda s: engine.apply(s, nk, a, b, na),
+                           lambda s: s, l_state)
         return (l_state, ks, angs, evals + ne), None
 
-    init = (prefix_state, kinds, angles, jnp.int32(0))
+    init = (l_state_in, kinds, angles, jnp.int32(0))
     (l_state, ks, angs, evals), _ = lax.scan(
-        gate_step, init, jnp.arange(Gp, dtype=jnp.int32))
-    final_cost = probe_cost(l_state)
+        gate_step, init, jnp.arange(chunk_len, dtype=jnp.int32))
+    return ks, angs, l_state, evals
+
+
+def full_cost_of(engine: SweepEngine, ref_state, weights, state):
+    """The weighted probe cost of a state (jitted per engine)."""
+    g, l, h1 = engine.cost_terms(state, ref_state)
+    return weights[0] * g + weights[1] * l - weights[2] * h1
+
+
+_full_cost_jit = jax.jit(full_cost_of, static_argnums=(0,))
+
+
+def sweep_full_chunked_until_converged(engine: SweepEngine, rotoselect: bool,
+                                       max_cycles: int, prefix_state,
+                                       ref_state, kinds, q0s, q1s, angles,
+                                       select, stop_val, tol, weights,
+                                       call_budget: int = 32768):
+    """Host-driven full-cost convergence loop over bounded device calls.
+
+    Mirrors sweep_full_until_converged's stopping semantics (stop_val,
+    cycle budget, 3-window improvement test) but each device execution
+    processes only `chunk` gates of the cycle, sized so one call performs
+    ~call_budget batched gate applies — the whole-cycle fused program at
+    padded G >= 512 ran minutes in one execution and the axon worker
+    killed it (see sweep_full_chunk). Cost per cycle is identical; the
+    added wall is one ~33-70 ms relay sync per chunk.
+
+    Returns (kinds, angles, final_cost, cycles, evals, final_state)."""
+    Gp = int(kinds.shape[0])
+    chunk = max(16, min(Gp, call_budget // max(Gp, 1)))
+    big = float("inf")
+    hist = [big, big, big]
+    evals = 0
+    cost = None
+    cycles = 0
+    final_state = None
+    for cycle in range(int(max_cycles)):
+        l_state = prefix_state
+        for k0 in range(0, Gp, chunk):
+            kinds, angles, l_state, ev = sweep_full_chunk(
+                engine, rotoselect, chunk, jnp.int32(k0), l_state, ref_state,
+                kinds, q0s, q1s, angles, select, weights)
+            evals += int(ev)
+        final_state = l_state
+        cost = float(_full_cost_jit(engine, ref_state,
+                                    jnp.asarray(weights), l_state))
+        cycles = cycle + 1
+        hist = [hist[1], hist[2], cost]
+        if cost <= float(stop_val):
+            break
+        if cycles > 3 and has_stopped_improving(list(hist), float(tol)):
+            break
+    return (kinds, angles, jnp.asarray(cost, angles.dtype), cycles, evals,
+            final_state)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def sweep_full(engine: SweepEngine, rotoselect: bool, prefix_state, ref_state,
+               kinds, q0s, q1s, angles, select, weights):
+    """One whole-tape full-cost Rotosolve/Rotoselect cycle (fused). `weights`
+    = (w_global, w_local, alpha). Returns (new_kinds, new_angles, final_cost,
+    final_state, n_evals). For padded tapes >= 512 entries use the chunked
+    host loop instead — one fused cycle is minutes of device wall."""
+    Gp = kinds.shape[0]
+    ks, angs, l_state, evals = sweep_full_chunk(
+        engine, rotoselect, Gp, jnp.int32(0), prefix_state, ref_state,
+        kinds, q0s, q1s, angles, select, weights)
+    final_cost = full_cost_of(engine, ref_state, weights, l_state)
     return ks, angs, final_cost, l_state, evals
 
 

@@ -271,14 +271,22 @@ def main():
         return chain
 
     def _pause_queue_jobs():
-        """SIGSTOP every descendant of the benchmark queues (exact PIDs from
-        the pid files + /proc children — never pattern-matched) so the
-        measurement owns the core and the device. Resumed in finally."""
+        """Quiesce the benchmark queues for the measurement (exact PIDs from
+        the pid files + /proc children — never pattern-matched).
+
+        Shells/timeouts are SIGSTOPped (harmless), but in-flight python TPU
+        CLIENTS are KILLED: a SIGSTOPped client's half-open worker session
+        plus the bench's own client crashed the TPU worker three times on
+        2026-08-19 (docs/tpu_design_notes.md operational lessons). Killed
+        compiles are recoverable — every benchmark harness checkpoints via
+        compile_with_recovery and the jobrunner retries failed jobs in a
+        fresh process, resuming from the newest checkpoint."""
         paused = []
         skip = _ancestors()
         import glob as _glob
         pidfiles = (_glob.glob("/tmp/*seed_queue*.pid")
                     + _glob.glob("/tmp/ladder*.pid"))
+        clients = []
         for pidfile in sorted(set(pidfiles)):
             try:
                 with open(pidfile) as f:
@@ -289,12 +297,26 @@ def main():
                 if pid in skip:
                     continue
                 try:
+                    with open(f"/proc/{pid}/comm") as f:
+                        comm = f.read().strip()
+                except OSError:
+                    continue
+                if comm.startswith("python"):
+                    clients.append(pid)
+                    continue
+                try:
                     os.kill(pid, signal.SIGSTOP)
                     paused.append(pid)
                 except (OSError, ProcessLookupError):
                     pass
-        if paused:
-            log(f"bench: paused queue jobs {paused} for the measurement")
+        for pid in clients:  # shells are stopped: nothing respawns
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except (OSError, ProcessLookupError):
+                pass
+        if paused or clients:
+            log(f"bench: paused queue shells {paused}, killed in-flight "
+                f"clients {clients} (checkpointed; runners retry+resume)")
         return paused
 
     def _resume_queue_jobs(paused):

@@ -54,3 +54,49 @@ def save_circuit(result, name_prefix):
         return f"circuits/{name}"
     except Exception:
         return None
+
+
+def compile_with_recovery(compiler, tag, **compile_kwargs):
+    """compiler.compile(**kwargs) with cross-process crash recovery.
+
+    The axon TPU worker crashed 6 times on 2026-08-19, each time killing a
+    multi-minute compile with nothing to show. A dead PJRT client cannot be
+    rebuilt in-process, so recovery is cross-process: checkpoint the whole
+    compiler every BENCH_CHECKPOINT_EVERY layers (default 50; 0 disables)
+    into benchmarks/checkpoints/<tag>/, and on a FRESH start resume from
+    the newest checkpoint if one exists (the framework's pickle codec +
+    resume path, io/checkpoint.py, proven by
+    tests/test_oracles.py::TestCheckpointResumeEquality). The directory is
+    removed on success, so a later run of the same tag starts clean.
+
+    Returns (compiler, result) — on resume the caller must use the
+    RETURNED compiler (the pickled object replaces the one passed in)."""
+    import glob
+    import pickle
+    import shutil
+    import sys
+
+    every = int(os.environ.get("BENCH_CHECKPOINT_EVERY", "50"))
+    if every <= 0:
+        return compiler, compiler.compile(**compile_kwargs)
+    ckdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "checkpoints", tag)
+    os.makedirs(ckdir, exist_ok=True)
+    pkls = glob.glob(os.path.join(ckdir, "*.pkl"))
+    if pkls:
+        newest = max(pkls, key=lambda p: int(os.path.basename(p)[:-4]))
+        print(f"resuming {tag} from checkpoint {newest}", file=sys.stderr,
+              flush=True)
+        with open(newest, "rb") as f:
+            compiler = pickle.load(f)
+        # a resumed compile ignores initial_ansatz / optimise flags (they
+        # are baked into the pickled state); keep checkpointing
+        result = compiler.compile(checkpoint_every=every,
+                                  checkpoint_dir=ckdir,
+                                  delete_prev_chkpt=True)
+    else:
+        result = compiler.compile(checkpoint_every=every,
+                                  checkpoint_dir=ckdir,
+                                  delete_prev_chkpt=True, **compile_kwargs)
+    shutil.rmtree(ckdir, ignore_errors=True)
+    return compiler, result

@@ -27,6 +27,13 @@ if ! queue_alive; then
   nohup bash benchmarks/seed_queue.sh >/dev/null 2>&1 &
 fi
 
+# jobrunner: restart if it died with jobs still queued
+if ls benchmarks/jobs/*.sh >/dev/null 2>&1 \
+    && ! alive /tmp/jobrunner_seed_queue.pid; then
+  echo "ensure_queues: starting jobrunner.sh (pending jobs)"
+  nohup bash benchmarks/jobrunner.sh >/dev/null 2>&1 &
+fi
+
 # stale lock with no live holder (a runner died without its EXIT trap):
 # remove it so the queue can proceed. EVERY runner pidfile must be checked
 # here (ADVICE r3: the round3-only list would have deleted a live lock held
@@ -35,6 +42,7 @@ if [ -e /tmp/adaptaqc_bench.lock ]; then
   holder_alive=0
   for f in /tmp/round3_ab_seed_queue.pid /tmp/round3_followup_seed_queue.pid \
            /tmp/round4_flagship_seed_queue.pid /tmp/round4_main_seed_queue.pid \
+           /tmp/jobrunner_seed_queue.pid \
            /tmp/ladder_n50.pid /tmp/spin_ab.pid; do
     alive "$f" && holder_alive=1
   done

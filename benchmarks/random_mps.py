@@ -26,8 +26,8 @@ REFERENCE_TARGETS = "/root/reference/paper/random_mps"
 
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import (git_rev as _git_rev, platform as _platform,
-                     save_circuit as _save_circuit)
+from _common import (compile_with_recovery, git_rev as _git_rev,
+                     platform as _platform, save_circuit as _save_circuit)
 
 
 def load_target(seed: int):
@@ -63,7 +63,7 @@ def random_target(seed: int, n=50, chi=2):
 
 
 def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
-                   method="general_gradient"):
+                   method="general_gradient", tag=None):
     import os
     if sufficient_cost is None:
         # default 9.5e-3, NOT the reference's 1e-2: a stop at exactly cost
@@ -102,6 +102,9 @@ def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
         cost_improvement_num_layers=1000,
         sufficient_cost=sufficient_cost,
         max_layers=max_layers,
+        # hybrid local-cost schedule knobs (only read when RMPS_LOCAL=1)
+        local_window_layers=int(os.environ.get("RMPS_LOCAL_WINDOW", 16)),
+        global_polish_frequency=int(os.environ.get("RMPS_POLISH_FREQ", 10)),
     )
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
                                     max_chi=max_chi)
@@ -120,7 +123,8 @@ def compile_target(qmps, max_chi=None, sufficient_cost=None, max_layers=None,
         optimise_local_cost=bool(int(os.environ.get("RMPS_LOCAL", "0"))),
     )
     t0 = time.time()
-    result = compiler.compile()
+    compiler, result = compile_with_recovery(
+        compiler, tag or f"rmps_n{n}_chi{max_chi}")
     wall = time.time() - t0
     return result, wall
 
@@ -168,7 +172,8 @@ def main():
             except OSError:
                 qmps = random_target(seed)
                 source = "synthetic fallback"
-        result, wall = compile_target(qmps)
+        result, wall = compile_target(
+            qmps, tag=f"rmps_seed{seed}_n{n_override or 50}")
         layers = len(result.qubit_pair_history)
         overlap64 = independent_overlap(qmps, result.circuit)
         engine_ov = None

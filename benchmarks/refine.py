@@ -24,8 +24,8 @@ logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import (git_rev as _git_rev, platform as _platform,
-                     save_circuit as _save_circuit)
+from _common import (compile_with_recovery, git_rev as _git_rev,
+                     platform as _platform, save_circuit as _save_circuit)
 from random_mps import independent_overlap, load_target
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -91,7 +91,8 @@ def refine(seed):
         # recorded overlap stays global
         optimise_local_cost=bool(int(os.environ.get("REFINE_LOCAL", "0"))))
     t0 = time.time()
-    result = compiler.compile(initial_ansatz=ansatz)
+    compiler, result = compile_with_recovery(
+        compiler, f"refine_seed{seed}_chi{chi}", initial_ansatz=ansatz)
     wall = time.time() - t0
 
     overlap64 = independent_overlap(qmps, result.circuit)

@@ -21,8 +21,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import (git_rev as _git_rev, platform as _platform,
-                     save_circuit as _save_circuit)
+from _common import (compile_with_recovery, git_rev as _git_rev,
+                     platform as _platform, save_circuit as _save_circuit)
 
 logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
@@ -119,7 +119,14 @@ def main():
     config = AdaptConfig(method=method,
                          cost_improvement_num_layers=1000,
                          sufficient_cost=sufficient,
-                         max_layers=max_layers)
+                         max_layers=max_layers,
+                         # hybrid local-cost schedule knobs (only read when
+                         # SPIN_LOCAL=1): O(W^2) local window + periodic
+                         # O(G) global polish (adapt_config.py)
+                         local_window_layers=int(
+                             os.environ.get("SPIN_LOCAL_WINDOW", 16)),
+                         global_polish_frequency=int(
+                             os.environ.get("SPIN_POLISH_FREQ", 10)))
     backend = mps_backend_with_args(mps_truncation_threshold=1e-8,
                                     max_chi=max_chi)
     compiler = AdaptCompiler(
@@ -184,7 +191,9 @@ def main():
         result = compiler.compile_with_chi_schedule(chis=chis)
         max_chi = chis[-1]
     else:
-        result = compiler.compile()
+        compiler, result = compile_with_recovery(
+            compiler,
+            f"spin_n{n}_s{steps}_chi{max_chi}_loc{int(local_cost)}")
     wall = time.time() - t0
 
     sol_2q, _ = co.find_num_gates(result.circuit)

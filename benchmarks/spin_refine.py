@@ -33,8 +33,8 @@ logging.basicConfig(stream=sys.stderr)
 logging.getLogger("adaptaqc_tpu").setLevel(logging.INFO)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from _common import (git_rev as _git_rev, platform as _platform,
-                     save_circuit as _save_circuit)
+from _common import (compile_with_recovery, git_rev as _git_rev,
+                     platform as _platform, save_circuit as _save_circuit)
 from spin_chain import neel_circuit, staggered_magnetisation, trotter_circuit
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -104,7 +104,9 @@ def main():
         optimise_local_cost=local_cost,
         soften_global_cost=soften)
     t0 = time.time()
-    result = compiler.compile(initial_ansatz=ansatz)
+    compiler, result = compile_with_recovery(
+        compiler, f"spin_refine_n{n}_s{steps}_chi{chi}",
+        initial_ansatz=ansatz)
     wall = time.time() - t0
 
     sol_2q, _ = co.find_num_gates(result.circuit)

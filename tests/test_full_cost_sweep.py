@@ -98,20 +98,75 @@ def test_softened_cost_device_matches_host_mps():
 
 
 def test_local_cost_compile_uses_device_path(monkeypatch):
-    """End-to-end local-cost compile goes through sweep_full (no silent
-    host fallback) and still converges."""
+    """End-to-end local-cost compile goes through the chunked full-cost
+    device sweep (no silent host fallback) and still converges."""
     import adaptaqc_tpu.optim.sweeps as sweeps
     calls = {"n": 0}
-    orig = sweeps.sweep_full_until_converged
+    orig = sweeps.sweep_full_chunked_until_converged
 
     def counting(*a, **k):
         calls["n"] += 1
         return orig(*a, **k)
 
-    monkeypatch.setattr(sweeps, "sweep_full_until_converged", counting)
+    monkeypatch.setattr(sweeps, "sweep_full_chunked_until_converged",
+                        counting)
     rng = np.random.default_rng(24)
     qc = random_circuit(3, 10, rng)
     comp = AdaptCompiler(qc, optimise_local_cost=True)
     result = comp.compile()
     assert calls["n"] > 0
     assert result.overlap > 0.9
+
+
+def test_chunked_full_sweep_matches_whole_cycle():
+    """The host-driven chunked loop (bounded device calls — the axon worker
+    kills minutes-long single executions) reproduces the fused whole-cycle
+    program: same angles, same cost, regardless of chunk boundaries."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.circuits.tape import compile_tape, select_mask
+    from adaptaqc_tpu.optim import sweeps
+
+    comp, idx = _prepared_compiler(27, MPSBackend(), optimise_local_cost=True)
+    rng_range = comp.minimizer.variational_circuit_range()
+    tape = compile_tape(comp.full_circuit,
+                        (rng_range[0], len(comp.full_circuit.data)))
+    mask = select_mask(tape, [i - rng_range[0] for i in range(*idx)])
+    engine = comp.backend.sweep_engine()
+    prefix = comp._prefix_state()
+    ref = comp.backend.zero_ref(comp)
+    kinds = jnp.asarray(tape.kinds)
+    q0 = jnp.asarray(tape.q0)
+    q1 = jnp.asarray(tape.q1)
+    angles = jnp.asarray(tape.angles)
+    weights = jnp.asarray((0.0, 1.0, 0.0), angles.dtype)
+
+    k_w, a_w, cost_w, _state, ev_w = sweeps.sweep_full(
+        engine, False, prefix, ref, kinds, q0, q1, angles,
+        jnp.asarray(mask), weights)
+    # call_budget=1 forces the minimum chunk (16 gates) -> many chunks
+    k_c, a_c, cost_c, cycles, ev_c, _state2 = \
+        sweeps.sweep_full_chunked_until_converged(
+            engine, False, 1, prefix, ref, kinds, q0, q1, angles,
+            jnp.asarray(mask), -np.inf, 1e-10, weights, call_budget=1)
+    assert cycles == 1
+    assert int(ev_w) == int(ev_c)
+    np.testing.assert_array_equal(np.asarray(k_w), np.asarray(k_c))
+    np.testing.assert_allclose(np.asarray(a_w), np.asarray(a_c), atol=1e-12)
+    assert abs(float(cost_w) - float(cost_c)) < 1e-12
+
+
+def test_hybrid_local_compile_with_global_polish():
+    """Hybrid schedule: local-cost training with a clamped window plus the
+    periodic global-cost consolidation pass actually runs the polish
+    (phase_timings) and converges on the MPS backend."""
+    from adaptaqc_tpu import AdaptConfig
+    rng = np.random.default_rng(26)
+    qc = random_circuit(4, 20, rng)
+    comp = AdaptCompiler(
+        qc, backend=MPSBackend(), optimise_local_cost=True,
+        adapt_config=AdaptConfig(max_layers=40, sufficient_cost=1e-2,
+                                 local_window_layers=4,
+                                 global_polish_frequency=1))
+    result = comp.compile()
+    assert result.overlap > 0.97
+    assert comp.phase_timings["global_polish"] > 0.0
