@@ -80,6 +80,53 @@ def spin_chain_summary():
     return rows
 
 
+def fig5_cz_table():
+    """Best spin-chain record per workload vs the paper's fig5 CZ rows
+    (/root/reference/paper/fig5/cz_depth_count.csv: ADAPT-AQC depth 28-59,
+    count 464-1226 for t=0..5). The solution ansatz is CX-based
+    (identity-resolvable dressed CNOT); CZ and CX are 1q-conjugation
+    equivalent, so 2q depth/count compare directly."""
+    paper = {}  # t -> (cz_depth, cz_count) for ADAPT-AQC rows
+    csv = "/root/reference/paper/fig5/cz_depth_count.csv"
+    if os.path.exists(csv):
+        with open(csv) as f:
+            next(f)
+            for line in f:
+                method, t, d, c = line.strip().split(",")
+                if method == "ADAPT-AQC":
+                    paper[float(t)] = (int(d), int(c))
+    best = {}
+    for r in load("results_spin_chain.jsonl"):
+        w = r.get("workload", "")
+        checks = [v for v in (r.get("overlap"),
+                              r.get("independent_overlap"),
+                              r.get("independent_engine_overlap"),
+                              ) if v is not None]
+        if not checks:
+            continue
+        ov = min(checks)  # strictest available verification
+        if w not in best or ov > best[w][0]:
+            best[w] = (ov, r)
+    rows = []
+    for w, (ov, r) in sorted(best.items()):
+        try:
+            steps = int(w.split("steps")[1].split("_")[0])
+            dt = float(w.split("dt")[1])
+            t = round(steps * dt, 3)
+        except (IndexError, ValueError):
+            t = None
+        pt = paper.get(t) or (paper.get(round(t)) if t is not None else None)
+        rows.append({
+            "workload": w, "t": t, "best_verified_overlap": round(ov, 4),
+            "cz_depth": r.get("solution_2q_depth"),
+            "cz_count": r.get("solution_2q_gates"),
+            "paper_cz_depth": pt[0] if pt else None,
+            "paper_cz_count": pt[1] if pt else None,
+            "raw_cz_depth": r.get("raw_2q_depth"),
+        })
+    return rows
+
+
 def main():
     if "--converged-seed" in sys.argv:
         # queue helper: exit 0 iff the seed already has a strict >0.99
@@ -110,8 +157,21 @@ def main():
             print(f"| {r['workload']} | {r['overlap']} | "
                   f"{r['solution_2q_depth']}/{r['raw_2q_depth']} | {sm} | "
                   f"{r['wall_seconds']} |")
+        cz = fig5_cz_table()
+        if cz:
+            print()
+            print("| fig5 workload (best verified) | t | overlap | "
+                  "CZ depth (ours/paper/raw) | CZ count (ours/paper) |")
+            print("|---|---|---|---|---|")
+            for r in cz:
+                print(f"| {r['workload']} | {r['t']} | "
+                      f"{r['best_verified_overlap']} | "
+                      f"{r['cz_depth']}/{r['paper_cz_depth']}/"
+                      f"{r['raw_cz_depth']} | "
+                      f"{r['cz_count']}/{r['paper_cz_count']} |")
     else:
-        print(json.dumps({"random_mps": rm, "spin_chain": sc}, indent=1))
+        print(json.dumps({"random_mps": rm, "spin_chain": sc,
+                          "fig5_cz": fig5_cz_table()}, indent=1))
 
 
 if __name__ == "__main__":
