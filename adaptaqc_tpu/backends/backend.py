@@ -564,7 +564,12 @@ class CenterMPSBackend(AQCBackend):
         return compiler._current_state()
 
     def sweep_engine(self):
-        return None  # host path: every cost query re-evaluates the engine
+        # device O(G) probe sweep over the center-gauge engine — the
+        # reference's ITensorBackend has no such path (every cost query is
+        # a full Julia re-simulation, itensor_backend.py:34-42), which made
+        # this backend unusable beyond toy compiles
+        from . import center_mps
+        return center_mps.sweep_engine(self.cutoff)
 
     def zero_ref(self, compiler):
         from . import center_mps

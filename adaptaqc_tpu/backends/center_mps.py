@@ -382,6 +382,76 @@ def all_pair_rdms(state: CMPS):
     return jax.vmap(for_i)(jnp.arange(n))
 
 
+# ------------------------------------------------------------- sweep engine
+
+def local_overlap_matrix(r_state: CMPS, l_state: CMPS, q) -> C:
+    """C[i,j] = <R| |i><j|_q |L> — the 2x2 local overlap the Rotosolve
+    sweep needs, by generic prefix/suffix transfer environments with open
+    physical legs at site q (no gauge assumptions; the two chains advance
+    in one fused scan like the primary engine's version,
+    mps_core.local_overlap_matrix).
+
+    Neither CMPS is assumed normalised (this engine's truncation decays the
+    norm): a global scale factor multiplies every probe value equally, so
+    the sweep's closed-form |z|^2 maximisation is unaffected."""
+    chi = l_state.chi
+    tr_all = r_state.t
+    tl_all = l_state.t
+    e0 = cplx.zeros((chi, chi), l_state.t.re.dtype)
+    e0 = C(e0.re.at[0, 0].set(1.0), e0.im)
+
+    flipped = jax.tree.map(lambda v: jnp.flip(v, 0), (tr_all, tl_all))
+
+    def step(carry, x):
+        e, f = carry
+        (tr, tl), (trf, tlf) = x
+        e_new = cplx.einsum("pax,ab,pby->xy", tr.conj(), e, tl)
+        f_new = cplx.einsum("pxa,ab,pyb->xy", trf.conj(), f, tlf)
+        return (e_new, f_new), (e, f)
+
+    _, (prefixes, suffixes_rev) = lax.scan(step, (e0, e0),
+                                           ((tr_all, tl_all), flipped))
+    suffixes = jax.tree.map(lambda v: jnp.flip(v, 0), suffixes_rev)
+    e_q = prefixes[q]
+    f_q = suffixes[q]
+    return cplx.einsum("iax,ab,jby,xy->ij",
+                       tr_all[q].conj(), e_q, tl_all[q], f_q)
+
+
+def full_cost_terms(state: CMPS, ref: CMPS):
+    """(global cost vs ref, local cost, hamming-1 sum) — the probe cost
+    kernel for the full-cost device sweep. hamming-1 overlaps are not
+    implemented for this engine (soften_global_cost raises in
+    CenterMPSBackend.evaluate_global_cost before any sweep runs), so the
+    third term is a constant 0."""
+    nrm2 = jnp.maximum(norm_sq(state), 1e-30)
+    g = 1.0 - cmps_dot(ref, state).abs2() / nrm2
+    loc = 0.5 * (1.0 - jnp.mean(z_expectations(state)))
+    return g, loc, jnp.zeros((), state.t.re.dtype)
+
+
+_ENGINE_CACHE = {}
+
+
+def sweep_engine(cutoff: float):
+    """SweepEngine over the center-gauge engine — the device O(G)-probe
+    sweep fast path the reference's ITensorBackend never had (every ITensor
+    cost query shells out to a full Julia re-simulation,
+    itensor_backend.py:34-42). Cached per cutoff: jit hashes the engine's
+    function fields by identity (see mps_core.sweep_engine)."""
+    key = float(cutoff)
+    engine = _ENGINE_CACHE.get(key)
+    if engine is None:
+        from ..optim.sweeps import SweepEngine
+        apply_gate, apply_adj = _make_apply(cutoff)
+        engine = SweepEngine(
+            f"center_mps[{cutoff}]", apply_gate, apply_adj,
+            local_overlap_matrix, cmps_dot, None,
+            cost_terms=full_cost_terms)
+        _ENGINE_CACHE[key] = engine
+    return engine
+
+
 # -------------------------------------------------------------- host helpers
 
 def to_dense(state: CMPS) -> np.ndarray:

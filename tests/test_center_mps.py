@@ -210,3 +210,100 @@ def test_cross_engine_overlap_verifier():
     assert abs(cross_engine_overlap(a, qc, chi=8) - 1.0) < 1e-4
     assert abs(cross_engine_overlap(mps_core.to_qiskit_mps(a), qc, chi=8)
                - 1.0) < 1e-4
+
+
+def _prepared_center_compiler(seed, n=4, depth=16, **kwargs):
+    """Mirrors test_full_cost_sweep._prepared_compiler, incl. the ry-only
+    dressed layer: rz probes are cost-flat sinusoids whose minimiser angle
+    is an fp-noise tie between host and device."""
+    from adaptaqc_tpu import AdaptCompiler
+    from test_full_cost_sweep import _ry_dressed_layer
+    rng = np.random.default_rng(seed)
+    qc = random_circuit(n, depth, rng)
+    comp = AdaptCompiler(qc, backend=CenterMPSBackend(chi=8),
+                         custom_layer_2q_gate=_ry_dressed_layer(), **kwargs)
+    layer_indexes = comp._add_entangling_layer(0)
+    return comp, layer_indexes
+
+
+@pytest.mark.parametrize("rotoselect", [False, True])
+def test_center_sweep_device_matches_host(rotoselect):
+    """The center-gauge SweepEngine (device O(G) probe sweep — the fast
+    path the reference's ITensorBackend never had) reproduces the host
+    probe loop's cost and angles on identical compilers."""
+    from adaptaqc_tpu.circuits import operations as co
+    from adaptaqc_tpu.utils import constants as vconstants
+
+    def minimize(comp, idx, force_host):
+        if force_host:
+            comp.minimizer._can_fast_sweep = lambda *_a, **_k: False
+            comp.minimizer._can_full_sweep = lambda *_a, **_k: False
+        alg = (vconstants.ALG_ROTOSELECT if rotoselect
+               else vconstants.ALG_ROTOSOLVE)
+        cost = comp.minimizer.minimize_cost(
+            algorithm_kind=alg, max_cycles=1, stop_val=-np.inf, tol=1e-10,
+            indexes_to_modify=idx)
+        angles = co.find_angles_in_circuit(comp.full_circuit,
+                                           comp.variational_circuit_range())
+        return cost, np.asarray(angles)
+
+    ca, idx_a = _prepared_center_compiler(41)
+    cb, idx_b = _prepared_center_compiler(41)
+    assert idx_a == idx_b
+    assert ca.minimizer._can_fast_sweep()
+    cost_dev, ang_dev = minimize(ca, idx_a, force_host=False)
+    cost_host, ang_host = minimize(cb, idx_b, force_host=True)
+    assert abs(cost_dev - cost_host) < 1e-6
+    if cost_host > 1e-10:
+        np.testing.assert_allclose(ang_dev, ang_host, atol=1e-6)
+
+
+def test_center_local_cost_sweep_matches_host():
+    """The center engine's cost_terms drive the chunked full-cost sweep
+    (local-cost mode) to the same result as the host probe loop."""
+    from adaptaqc_tpu.circuits import operations as co
+    from adaptaqc_tpu.utils import constants as vconstants
+
+    def minimize(comp, idx, force_host):
+        if force_host:
+            comp.minimizer._can_full_sweep = lambda *_a, **_k: False
+        cost = comp.minimizer.minimize_cost(
+            algorithm_kind=vconstants.ALG_ROTOSOLVE, max_cycles=1,
+            stop_val=-np.inf, tol=1e-10, indexes_to_modify=idx)
+        angles = co.find_angles_in_circuit(comp.full_circuit,
+                                           comp.variational_circuit_range())
+        return cost, np.asarray(angles)
+
+    ca, idx_a = _prepared_center_compiler(43, optimise_local_cost=True)
+    cb, idx_b = _prepared_center_compiler(43, optimise_local_cost=True)
+    assert ca.minimizer._can_full_sweep(False)
+    cost_dev, ang_dev = minimize(ca, idx_a, force_host=False)
+    cost_host, ang_host = minimize(cb, idx_b, force_host=True)
+    assert abs(cost_dev - cost_host) < 1e-6
+    if cost_host > 1e-10:
+        np.testing.assert_allclose(ang_dev, ang_host, atol=1e-6)
+
+
+def test_backend_compile_uses_device_sweep():
+    """End-to-end CenterMPSBackend compile goes through the device sweep
+    (no silent host fallback) and converges."""
+    from adaptaqc_tpu import AdaptCompiler, AdaptConfig
+    import adaptaqc_tpu.optim.sweeps as sweeps
+
+    calls = {"n": 0}
+    orig = sweeps.sweep_until_converged
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    rng = np.random.default_rng(44)
+    qc = random_circuit(3, 10, rng)
+    comp = AdaptCompiler(qc, backend=CenterMPSBackend(chi=8),
+                         adapt_config=AdaptConfig(max_layers=30,
+                                                  sufficient_cost=1e-2))
+    import unittest.mock as mock
+    with mock.patch.object(sweeps, "sweep_until_converged", counting):
+        result = comp.compile()
+    assert calls["n"] > 0
+    assert result.overlap > 0.97
