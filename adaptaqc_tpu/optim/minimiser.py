@@ -33,6 +33,12 @@ from . import sweeps
 
 logger = logging.getLogger(__name__)
 
+# per-device-call gate-apply budget for the chunked convergence loops: one
+# fused whole-history call at warm-start tape sizes runs minutes of device
+# wall, which the axon worker killed repeatedly on 2026-08-19 (sweep cycles
+# are ~2*G applies each; 32768 applies ~ a few seconds at chi=64)
+_CALL_BUDGET = int(os.environ.get("ADAPTAQC_SWEEP_CALL_BUDGET", 32768))
+
 
 class CostMinimiser:
     """Minimizer that minimizes a cost function (cost_minimiser.py:32)."""
@@ -266,12 +272,41 @@ class CostMinimiser:
                 # every bond SVD)
                 init_state = comp._current_cache
                 init_state = () if init_state is None else init_state
-                (kinds, angles, cost_dev, cycles, evals,
-                 final_state) = sweeps.sweep_until_converged(
-                    engine, bl, rotoselect, int(max_cycles), prefix, ref,
-                    kinds, q0, q1, angles, jnp.asarray(full_mask),
-                    jnp.asarray(stop_val, dt), jnp.asarray(tol, dt),
-                    init_state)
+                # bound single device executions: the fused
+                # sweep_until_converged runs ALL cycles in one call — at
+                # warm-start tapes (G ~ 4000) that is minutes of device
+                # wall, which the axon worker killed repeatedly on
+                # 2026-08-19. Chunk cycles so one call performs
+                # ~CALL_BUDGET gate applies; the update sequence is
+                # identical (cycles depend only on carried angles/state),
+                # only the stop test gains a host-side view between chunks.
+                Gp = int(kinds.shape[0])
+                # fixed static chunk so every call of a tape bucket shares
+                # one compile (a varying remainder would retrace per value)
+                chunk = max(1, min(int(max_cycles),
+                                   _CALL_BUDGET // max(2 * Gp, 1)))
+                cycles = 0
+                evals = 0
+                hist = []
+                cost_dev = None
+                while cycles < int(max_cycles):
+                    (kinds, angles, cost_dev, ccyc, cevals,
+                     final_state) = sweeps.sweep_until_converged(
+                        engine, bl, rotoselect, chunk, prefix, ref,
+                        kinds, q0, q1, angles, jnp.asarray(full_mask),
+                        jnp.asarray(stop_val, dt), jnp.asarray(tol, dt),
+                        init_state)
+                    init_state = final_state
+                    cycles += int(ccyc)
+                    evals += int(cevals)
+                    hist.append(float(cost_dev))
+                    if int(ccyc) < chunk:  # converged inside the chunk
+                        break
+                    if float(cost_dev) <= float(stop_val):
+                        break
+                    if len(hist) > 3 and has_stopped_improving(
+                            hist[-3:], tol):
+                        break
             comp.cost_evaluation_counter += int(evals)
             cost = float(cost_dev)
             logger.info(f"{alg_name} ran {int(cycles)} cycles on device")
