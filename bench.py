@@ -293,6 +293,22 @@ def main():
                     root_pid = int(f.read().strip())
             except (OSError, ValueError):
                 continue
+            # Stop the ROOT runner shell first: a runner whose child job
+            # dies otherwise advances to its NEXT job mid-measurement
+            # (observed 2026-08-20: jobrunner started teig_check next to
+            # bench — the two-client worker-crash condition).
+            if root_pid not in skip:
+                try:
+                    with open(f"/proc/{root_pid}/comm") as f:
+                        root_comm = f.read().strip()
+                except OSError:
+                    root_comm = ""
+                if root_comm and not root_comm.startswith("python"):
+                    try:
+                        os.kill(root_pid, signal.SIGSTOP)
+                        paused.append(root_pid)
+                    except (OSError, ProcessLookupError):
+                        pass
             for pid in _descendants(root_pid):
                 if pid in skip:
                     continue
