@@ -448,6 +448,10 @@ def eigh_top_tridiag(h: C, keep: int):
 # Default is "pallas" on TPU since the 2026-08-19 on-device A/B
 # (benchmarks/eigh_ab.py, tpu_bench_history.jsonl): n=50 chi=64 Rotoselect
 # sweep 45.6 ms/sweep (15,358 evals/s) vs embed's 84.7 ms (8,269 evals/s).
+# "teig" (in-kernel tridiagonal eigensolver, 0.250 ms vs 0.376 ms on the
+# eigh-of-T phase) stays opt-in: the 2026-08-20 on-device gate
+# (benchmarks/teig_check.py) failed its 7-decade-spectrum cases with
+# s_err ~5e-3 — the flip waits on that fix.
 # Off-TPU (or at unsupported shapes) "pallas" resolves to "embed", which
 # beat "tridiag" on device (104.5 ms) — the pure-JAX Householder scan pays
 # ~2(n-1) sequential dispatch steps that the fused kernel amortises.
