@@ -3,7 +3,6 @@
 # with a 20-min cap each (compile_with_recovery checkpoints let a later
 # rerun resume any seed the cap cuts off).
 cd /root/repo
-[ -e /tmp/teig_ok ] && export ADAPTAQC_EIGH=teig
 for s in 59 63 65 68 72 73 76 82 83; do
   env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu timeout 120 \
     python benchmarks/summarize.py --converged-seed $s && continue
