@@ -18,4 +18,4 @@ for line in open('benchmarks/results_spin_chain.jsonl'):
 sys.exit(0 if best > 0.99 else 1)
 PY
 SPIN_REFINE_CHI=64 SPIN_REFINE_LAYERS=400 SPIN_REFINE_SUFF=8e-3 \
-  timeout 4200 python benchmarks/spin_refine.py 50 1 0.2 || true
+  timeout 4200 python benchmarks/spin_refine.py 50 1 0.2

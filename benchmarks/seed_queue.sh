@@ -30,6 +30,7 @@ echo "batch waiting for tunnel $(date)" >> $log
 wait_tunnel
 echo "tunnel alive $(date)" >> $log
 # Phase 0: bench record under the pallas eigh default
+wait_lock
 echo "=== bench.py (pallas default) $(date)" >> $log
 timeout 2700 python bench.py >> $log 2>&1
 # Phase 1: chi=64 direct 1-step compile (t=0.2). The chi=32 surrogate was
