@@ -40,6 +40,17 @@ logger = logging.getLogger(__name__)
 _CALL_BUDGET = int(os.environ.get("ADAPTAQC_SWEEP_CALL_BUDGET", 32768))
 
 
+def _sweep_went_backwards(cost: float, cost0: float) -> bool:
+    """Sweep guard predicate: coordinate-descent sweeps are monotone per
+    probe in exact arithmetic, so a final cost meaningfully ABOVE the
+    input-angle cost can only be numerical or device corruption (observed
+    2026-08-20: an eigh impl with a real-workload bug, and a degraded axon
+    worker window, each silently destroyed 0.98-overlap warm starts). The
+    tolerance absorbs legitimate f32/truncation-order jitter near
+    convergence (chi-capped in-loop costs fluctuate ~1e-3)."""
+    return cost > cost0 + max(2e-2, 0.10 * cost0)
+
+
 class CostMinimiser:
     """Minimizer that minimizes a cost function (cost_minimiser.py:32)."""
 
@@ -89,6 +100,19 @@ class CostMinimiser:
         elif algorithm_kind == vconstants.ALG_PYBOBYQA:
             return self._pybobyqa_minimize(alg_kwargs)
         raise ValueError(f"Invalid algorithm kind {algorithm_kind}")
+
+    def _reject_sweep(self, alg_name: str, cost: float, cost0: float) -> float:
+        """Restore-on-fail (reference CostMinimiser behavior): the sweep
+        result is discarded — no angle writeback, so full_circuit and any
+        valid state cache still describe the INPUT angles — and the
+        input-angle cost is returned so the adapt loop's patience machinery
+        sees an unimproving layer instead of inheriting a corrupted state."""
+        logger.warning(
+            f"{alg_name} sweep ended at cost {cost:.6f}, WORSE than its "
+            f"starting cost {cost0:.6f} — numerically impossible for a "
+            f"coordinate-descent sweep; discarding the sweep result "
+            f"(device/numeric fault guard)")
+        return float(cost0)
 
     # ------------------------------------------------------ device fast path
     def _can_fast_sweep(self, force_global=False) -> bool:
@@ -186,14 +210,16 @@ class CostMinimiser:
         # (sweep_full_until_converged) runs O(cycles * G^2/2) applies in a
         # SINGLE device execution — minutes of wall at padded G >= 512,
         # which the axon worker killed in both n=50 local-cost outings
-        (kinds, angles, cost_dev, cycles, evals,
-         final_state) = sweeps.sweep_full_chunked_until_converged(
+        (kinds, angles, cost_dev, cycles, evals, final_state,
+         cost0) = sweeps.sweep_full_chunked_until_converged(
             engine, rotoselect, int(max_cycles), prefix, ref, kinds, q0, q1,
             angles, jnp.asarray(full_mask), jnp.asarray(stop_val, dt),
             jnp.asarray(tol, dt), weights)
         comp.cost_evaluation_counter += int(evals)
         cost = float(cost_dev)
         logger.info(f"{alg_name} ran {int(cycles)} full-cost cycles on device")
+        if _sweep_went_backwards(cost, float(cost0)):
+            return self._reject_sweep(alg_name, cost, float(cost0))
         writeback_angles(self.full_circuit, tape_range, tape,
                          np.asarray(kinds), np.asarray(angles))
         comp._invalidate_current()
@@ -257,14 +283,16 @@ class CostMinimiser:
             dt = angles.dtype
             use_zigzag = (self.zigzag and bl >= tape.padded_length
                           and engine.env_ops is None)
+            cost0 = None
             if use_zigzag:
                 # alternating-direction cycles reuse the state buffer the
                 # previous cycle emitted: G applies per cycle instead of 2G
                 (kinds, angles, cost_dev, cycles, evals,
-                 final_state) = sweeps.sweep_zigzag_until_converged(
+                 final_state, c0) = sweeps.sweep_zigzag_until_converged(
                     engine, rotoselect, int(max_cycles), prefix, ref, kinds,
                     q0, q1, angles, jnp.asarray(full_mask),
                     jnp.asarray(stop_val, dt), jnp.asarray(tol, dt))
+                cost0 = float(c0)
             else:
                 # the full-state cache, when valid, IS prefix+tape at the
                 # input angles: hand it over so the fused loop skips its
@@ -289,17 +317,22 @@ class CostMinimiser:
                 evals = 0
                 hist = []
                 cost_dev = None
+                best = None  # (cost, kinds, angles, state) best chunk end
                 while cycles < int(max_cycles):
                     (kinds, angles, cost_dev, ccyc, cevals,
-                     final_state) = sweeps.sweep_until_converged(
+                     final_state, c0) = sweeps.sweep_until_converged(
                         engine, bl, rotoselect, chunk, prefix, ref,
                         kinds, q0, q1, angles, jnp.asarray(full_mask),
                         jnp.asarray(stop_val, dt), jnp.asarray(tol, dt),
                         init_state)
+                    if cost0 is None:
+                        cost0 = float(c0)
                     init_state = final_state
                     cycles += int(ccyc)
                     evals += int(cevals)
                     hist.append(float(cost_dev))
+                    if best is None or float(cost_dev) < best[0]:
+                        best = (float(cost_dev), kinds, angles, final_state)
                     if int(ccyc) < chunk:  # converged inside the chunk
                         break
                     if float(cost_dev) <= float(stop_val):
@@ -307,9 +340,16 @@ class CostMinimiser:
                     if len(hist) > 3 and has_stopped_improving(
                             hist[-3:], tol):
                         break
+                if best is not None:
+                    # corruption can set in mid-loop (a degrading device):
+                    # keep the best chunk endpoint, not the last
+                    _, kinds, angles, final_state = best
+                    cost_dev = best[0]
             comp.cost_evaluation_counter += int(evals)
             cost = float(cost_dev)
             logger.info(f"{alg_name} ran {int(cycles)} cycles on device")
+            if cost0 is not None and _sweep_went_backwards(cost, cost0):
+                return self._reject_sweep(alg_name, cost, cost0)
         else:
             # per-cycle host loop (rotosolve_fraction re-samples gates each cycle)
             cost = self.cost_finder()

@@ -302,10 +302,15 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
     sweep cycle (G gate applies incl. every bond SVD) per minimize_cost
     call. Pass () to have it computed here.
 
-    Returns (kinds, angles, final_cost, cycles, evals, final_state):
+    Returns (kinds, angles, final_cost, cycles, evals, final_state, cost0):
     final_state is the engine state of prefix+tape at the returned angles —
     callers seed their full-state caches with it instead of re-simulating
     the tape (at 50q the re-simulation costs ~0.4 s of SVDs per layer).
+    cost0 is the cost at the INPUT angles: coordinate-descent sweeps are
+    monotone per probe in exact arithmetic, so a final cost above cost0
+    signals numerical/device corruption — the minimiser's sweep guard
+    restores the input angles instead of writing the result back (the
+    reference optimiser's restore-on-fail behavior, cost_minimiser.py).
     """
     if isinstance(init_state, tuple) and init_state == ():
         # initial cost of the unmodified tape (the reference's leading
@@ -347,7 +352,7 @@ def sweep_until_converged(engine: SweepEngine, block_len: int, rotoselect: bool,
             init_state)
     (k, a, cost, hist, ov2_hist, cycles, evals,
      state) = lax.while_loop(cond, body, init)
-    return k, a, cost, cycles, evals, state
+    return k, a, cost, cycles, evals, state, cost0
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -458,7 +463,8 @@ def sweep_zigzag_until_converged(engine: SweepEngine, rotoselect: bool,
     the returned angles. The initial backward R-state build also yields the
     initial cost, so no separate tape re-simulation is needed.
 
-    Returns (kinds, angles, final_cost, cycles, evals, final_state)."""
+    Returns (kinds, angles, final_cost, cycles, evals, final_state, cost0)
+    — cost0 as in sweep_until_converged (the minimiser's sweep guard)."""
     # initial R build at input angles: emits r_buf and the full adjoint
     # state, whose overlap with the prefix IS the initial cost
     flip = lambda t: jax.tree.map(lambda v: jnp.flip(v, 0), t)
@@ -510,7 +516,7 @@ def sweep_zigzag_until_converged(engine: SweepEngine, rotoselect: bool,
     xs = (k, q0s, q1s, a, select)
     k, a, ov2_f, l_final, ev_f, _ = _zz_forward(
         engine, rotoselect, prefix_state, ref_state, xs, r_buf)
-    return (k, a, 1.0 - ov2_f, cycles + 1, evals + ev_f, l_final)
+    return (k, a, 1.0 - ov2_f, cycles + 1, evals + ev_f, l_final, cost0)
 
 
 # ------------------------------------------------------ full-cost probe sweep
@@ -658,9 +664,19 @@ def sweep_full_chunked_until_converged(engine: SweepEngine, rotoselect: bool,
     killed it (see sweep_full_chunk). Cost per cycle is identical; the
     added wall is one ~33-70 ms relay sync per chunk.
 
-    Returns (kinds, angles, final_cost, cycles, evals, final_state)."""
+    Returns (kinds, angles, final_cost, cycles, evals, final_state, cost0)
+    — cost0 as in sweep_until_converged (the minimiser's sweep guard). It
+    costs one probe-free tape pass (the same chunk program with an all-off
+    select mask), ~1/2 cycle of applies."""
     Gp = int(kinds.shape[0])
     chunk = max(16, min(Gp, call_budget // max(Gp, 1)))
+    no_probe = jnp.zeros_like(select)
+    l0 = prefix_state
+    for k0 in range(0, Gp, chunk):
+        _, _, l0, _ = sweep_full_chunk(
+            engine, rotoselect, chunk, jnp.int32(k0), l0, ref_state,
+            kinds, q0s, q1s, angles, no_probe, weights)
+    cost0 = float(_full_cost_jit(engine, ref_state, jnp.asarray(weights), l0))
     big = float("inf")
     hist = [big, big, big]
     evals = 0
@@ -684,7 +700,7 @@ def sweep_full_chunked_until_converged(engine: SweepEngine, rotoselect: bool,
         if cycles > 3 and has_stopped_improving(list(hist), float(tol)):
             break
     return (kinds, angles, jnp.asarray(cost, angles.dtype), cycles, evals,
-            final_state)
+            final_state, cost0)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

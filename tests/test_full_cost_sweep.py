@@ -144,7 +144,7 @@ def test_chunked_full_sweep_matches_whole_cycle():
         engine, False, prefix, ref, kinds, q0, q1, angles,
         jnp.asarray(mask), weights)
     # call_budget=1 forces the minimum chunk (16 gates) -> many chunks
-    k_c, a_c, cost_c, cycles, ev_c, _state2 = \
+    k_c, a_c, cost_c, cycles, ev_c, _state2, cost0 = \
         sweeps.sweep_full_chunked_until_converged(
             engine, False, 1, prefix, ref, kinds, q0, q1, angles,
             jnp.asarray(mask), -np.inf, 1e-10, weights, call_budget=1)

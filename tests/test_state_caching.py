@@ -303,7 +303,8 @@ class TestZigzag:
         kinds, q0, q1, angles, sel = xs
         cost0 = 1.0 - float(engine.overlap(
             ref, sv_core.apply_tape(prefix, kinds, q0, q1, angles)).abs2())
-        nk, na, cost, cycles, evals, state = sweeps.sweep_zigzag_until_converged(
+        (nk, na, cost, cycles, evals, state,
+         c0_dev) = sweeps.sweep_zigzag_until_converged(
             engine, True, 30, prefix, ref, kinds, q0, q1, angles, sel,
             jnp.asarray(1e-5, jnp.float32), jnp.asarray(1e-5, jnp.float32))
         # coordinate descent never increases the cost (0.5 here is a genuine
@@ -334,3 +335,68 @@ class TestZigzag:
         sv_t = simulate(co.make_quantum_only_circuit(qc))
         sv_s = simulate(co.make_quantum_only_circuit(result.circuit))
         assert abs(np.vdot(sv_t, sv_s)) ** 2 > 0.97
+
+
+class TestSweepGuard:
+    """The minimiser discards sweep results that end WORSE than their
+    starting cost — numerically impossible for coordinate descent, so it
+    can only be numerical or device corruption. Observed live 2026-08-20:
+    a buggy opt-in eigh impl and a degraded axon-worker window each
+    silently destroyed 0.98-overlap warm starts across a whole queue
+    night; the guard turns that into a warning + no-op layer."""
+
+    def _compiler(self):
+        qc = random_circuit(3, 8, np.random.default_rng(5))
+        comp = AdaptCompiler(qc, adapt_config=AdaptConfig(max_layers=2))
+        # materialise the variational window the way compile() does
+        comp.global_cost_history = []
+        comp.cost_evaluation_counter = 0
+        comp._add_layer_structure = None
+        return comp
+
+    def test_corrupted_sweep_is_discarded(self, monkeypatch):
+        import jax.numpy as jnp
+        from adaptaqc_tpu.optim import sweeps
+        from adaptaqc_tpu.utils import constants as vconstants
+
+        comp = self._compiler()
+        comp._add_initial_ansatz(
+            co.make_quantum_only_circuit(random_circuit(
+                3, 6, np.random.default_rng(9))), False)
+        angles_before = [instr.params[0] for instr in comp.full_circuit.data
+                         if instr.params]
+        orig = sweeps.sweep_until_converged
+
+        def corrupting(*a, **kw):
+            out = orig(*a, **kw)
+            # corrupted device result: garbage angles, cost far above cost0
+            bad_angles = jnp.full_like(out[1], 1.234)
+            return (out[0], bad_angles, jnp.asarray(0.97, jnp.float32),
+                    out[3], out[4], out[5], out[6])
+
+        monkeypatch.setattr(sweeps, "sweep_until_converged", corrupting)
+        cost = comp.minimizer.minimize_cost(
+            algorithm_kind=vconstants.ALG_ROTOSOLVE, tol=1e-3,
+            stop_val=1e-2, indexes_to_modify=comp.variational_circuit_range())
+        angles_after = [instr.params[0] for instr in comp.full_circuit.data
+                        if instr.params]
+        # no writeback: the input angles survive, and the returned cost is
+        # the (healthy) input-angle cost, not the corrupted one
+        assert angles_after == angles_before
+        assert cost < 0.9
+        true_cost = comp.evaluate_cost()
+        assert cost == pytest.approx(true_cost, abs=1e-5)
+
+    def test_healthy_sweep_still_writes_back(self):
+        from adaptaqc_tpu.utils import constants as vconstants
+
+        comp = self._compiler()
+        comp._add_initial_ansatz(
+            co.make_quantum_only_circuit(random_circuit(
+                3, 6, np.random.default_rng(9))), False)
+        c0 = comp.evaluate_cost()
+        cost = comp.minimizer.minimize_cost(
+            algorithm_kind=vconstants.ALG_ROTOSOLVE, tol=1e-6,
+            stop_val=-1.0, indexes_to_modify=comp.variational_circuit_range())
+        assert cost <= c0 + 1e-6
+        assert cost == pytest.approx(comp.evaluate_cost(), abs=1e-5)
