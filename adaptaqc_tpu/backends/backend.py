@@ -387,22 +387,21 @@ class SamplingBackend(AQCBackend):
         return execute_kwargs.get("noise_model")
 
     def _noisy_state(self, compiler, noise_model):
-        """One Monte-Carlo noise trajectory of the full circuit: stochastic
-        error insertions from the thermal-relaxation model applied to every
-        gate, then an exact simulation of the unravelled circuit. The
-        reference instead threads execute_kwargs["noise_model"] into Aer's
+        """One Monte-Carlo Kraus trajectory of the full circuit under the
+        thermal-relaxation model: state-dependent amplitude-damping jumps +
+        dephasing Z flips after every gate, simulated exactly on the host
+        in f64 (circuits/running.simulate_noise_trajectory). The reference
+        instead threads execute_kwargs["noise_model"] into Aer's
         density-matrix noise (approximate_compiler.py:92-94, 261-266);
-        trajectory sampling is the statevector-engine equivalent."""
+        trajectory sampling is the statevector-engine equivalent and its
+        trajectory average matches Aer's channel (tests/test_interactions.py
+        TestKrausChannelFidelity)."""
         from ..circuits.operations import make_quantum_only_circuit
-        from ..circuits.running import apply_noise_trajectory
+        from ..circuits.running import simulate_noise_trajectory
+        from ..ops import cplx
         qc = make_quantum_only_circuit(compiler.full_circuit)
-        noisy = apply_noise_trajectory(qc, noise_model, self.host_rng)
-        n = noisy.num_qubits
-        state = self._sv.initial_state(noisy, n)
-        start = 1 if (noisy.data and noisy.data[0].name in
-                      ("set_mps", "set_statevector")) else 0
-        tape = compile_tape(noisy, (start, len(noisy.data)))
-        return self._sv.run_tape(state, tape)
+        sv = simulate_noise_trajectory(qc, noise_model, self.host_rng)
+        return cplx.from_np(sv)
 
     def counts(self, compiler, shots: Optional[int] = None,
                num_trajectories: int = 8):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 from scipy.optimize import curve_fit
@@ -127,24 +127,116 @@ def statevector_from_counts_data(counts):
     return sv / np.linalg.norm(sv)
 
 
-def apply_noise_trajectory(circuit: Circuit, noise_model: NoiseModel,
-                           rng: np.random.Generator) -> Circuit:
-    """One Monte-Carlo unravelling of the noise model: after each gate,
-    stochastically insert X (amplitude-damping jump proxy) or Z (dephasing
-    jump) on the touched qubits. Used by noisy sampling runs."""
-    noisy = Circuit(circuit.num_qubits, circuit.num_clbits)
-    for instr in circuit.data:
-        noisy.data.append(instr.copy())
-        if instr.name in ("barrier", "set_statevector", "set_mps", "measure"):
+def _apply_1q_host(psi: np.ndarray, n: int, q: int, mat: np.ndarray):
+    """Apply a (possibly non-unitary) 2x2 matrix to qubit q of a host
+    statevector reshaped to (2,)*n (little-endian: qubit 0 = LSB, so qubit
+    q lives on axis n-1-q)."""
+    a = n - 1 - q
+    psi = np.moveaxis(psi, a, 0)
+    psi = (mat @ psi.reshape(2, -1)).reshape((2,) * n)
+    return np.moveaxis(psi, 0, a)
+
+
+def _thermal_relax_step(psi: np.ndarray, n: int, q: int, gamma: float,
+                        p_z: float, u_amp: float, u_z: float) -> np.ndarray:
+    """One Kraus-trajectory step of the single-qubit thermal-relaxation
+    channel on qubit q (excited-state population 0, T2 <= 2*T1):
+
+      amplitude damping  K0 = diag(1, sqrt(1-gamma)), K1 = sqrt(gamma)|0><1|
+      pure dephasing     Z with probability p_z = (1 - exp(-t/T_phi))/2
+
+    The amplitude-damping jump is STATE-DEPENDENT: it fires with
+    probability gamma * P(q=1); otherwise the normalised no-jump evolution
+    K0|psi>/||.|| is applied (which damps the |1> amplitude — this is what
+    the old X-insertion proxy got wrong). Averaging |psi><psi| over
+    trajectories reproduces the channel exactly:
+    rho_11 -> e^{-t/T1} rho_11, rho_01 -> e^{-t/T2} rho_01
+    (sqrt(1-gamma)*(1-2 p_z) = e^{-t/2T1} e^{-t/T_phi} = e^{-t/T2}).
+    Mirrors Aer's thermal_relaxation_error semantics (reference
+    circuit_operations_running.py:72-109) as a statevector unravelling.
+    u_amp/u_z are uniform(0,1) draws, injected so tests can force and
+    weight branches exactly."""
+    a = n - 1 - q
+    pm = np.moveaxis(psi, a, 0)
+    p1 = float(np.sum(np.abs(pm[1]) ** 2))
+    if u_amp < gamma * p1:
+        # jump: |1> component relabelled to |0>, renormalised
+        new = np.zeros_like(pm)
+        new[0] = pm[1]
+        pm = new / np.sqrt(p1)
+    else:
+        # no-jump: damp |1| amplitude, renormalise
+        pm = pm.copy()
+        pm[1] = pm[1] * np.sqrt(max(1.0 - gamma, 0.0))
+        nrm = np.sqrt(np.sum(np.abs(pm) ** 2))
+        if nrm > 0:
+            pm = pm / nrm
+    if u_z < p_z:
+        pm = pm.copy()
+        pm[1] = -pm[1]
+    return np.moveaxis(pm, 0, a)
+
+
+def _initial_host_state(circuit: Circuit) -> Tuple[np.ndarray, int]:
+    """(statevector reshaped (2,)*n, first gate index) for a host run."""
+    n = circuit.num_qubits
+    start = 0
+    if circuit.data and circuit.data[0].name in ("set_statevector", "set_mps"):
+        instr = circuit.data[0]
+        start = 1
+        if instr.name == "set_statevector":
+            sv = np.asarray(instr.payload, dtype=np.complex128)
+        else:
+            from ..utils.utilityfunctions import mps_to_statevector
+            sv = np.asarray(mps_to_statevector(instr.payload),
+                            dtype=np.complex128)
+    else:
+        sv = np.zeros(2 ** n, dtype=np.complex128)
+        sv[0] = 1.0
+    return sv.reshape((2,) * n), start
+
+
+def simulate_noise_trajectory(circuit: Circuit, noise_model: NoiseModel,
+                              rng: np.random.Generator) -> np.ndarray:
+    """Exact f64 host simulation of ONE Kraus trajectory of the circuit
+    under the thermal-relaxation noise model: after every gate, each
+    touched qubit passes through `_thermal_relax_step` with that gate
+    kind's (gamma, p_z). Returns the flat statevector. Trajectory-averaged
+    |psi><psi| converges to Aer's density-matrix channel (the reference
+    threads the same model into Aer execution, running.py:31-41,72-109)."""
+    from . import gates as G
+    n = circuit.num_qubits
+    psi, start = _initial_host_state(circuit)
+    for instr in circuit.data[start:]:
+        name = instr.name
+        if name in ("barrier", "set_statevector", "set_mps", "measure"):
             continue
-        kind = "2q" if len(instr.qubits) == 2 else "1q"
+        qs = instr.qubits
+        if len(qs) == 1:
+            mat = G.u1q_np(name, instr.params[0] if instr.params else 0.0)
+            psi = _apply_1q_host(psi, n, qs[0], mat)
+        elif name == "cx":
+            c, t = qs
+            pm = np.moveaxis(psi, (n - 1 - c, n - 1 - t), (0, 1))
+            pm = np.stack([pm[0], pm[1, ::-1]])
+            psi = np.moveaxis(pm, (0, 1), (n - 1 - c, n - 1 - t))
+        elif name == "cz":
+            c, t = qs
+            pm = np.moveaxis(psi, (n - 1 - c, n - 1 - t), (0, 1)).copy()
+            pm[1, 1] = -pm[1, 1]
+            psi = np.moveaxis(pm, (0, 1), (n - 1 - c, n - 1 - t))
+        elif name == "swap":
+            a, b = qs
+            psi = np.swapaxes(psi, n - 1 - a, n - 1 - b)
+        else:
+            raise ValueError(f"unsupported gate in noise trajectory: {name}")
+        kind = "2q" if len(qs) == 2 else "1q"
         p_amp, p_phi = noise_model.error_probs(kind)
-        for q in instr.qubits:
-            if rng.random() < p_amp:
-                noisy.x(q)
-            if rng.random() < p_phi:
-                noisy.z(q)
-    return noisy
+        p_z = 0.5 * p_phi  # phase flip prob: (1-2p_z) = e^{-t/T_phi}
+        for q in qs:
+            psi = _thermal_relax_step(psi, n, q, p_amp, p_z,
+                                      rng.random(), rng.random())
+    return psi.reshape(-1)
 
 
 def zero_noise_extrapolate(circuit: Circuit, measurement_function: Callable,

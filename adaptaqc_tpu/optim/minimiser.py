@@ -47,8 +47,12 @@ def _sweep_went_backwards(cost: float, cost0: float) -> bool:
     2026-08-20: an eigh impl with a real-workload bug, and a degraded axon
     worker window, each silently destroyed 0.98-overlap warm starts). The
     tolerance absorbs legitimate f32/truncation-order jitter near
-    convergence (chi-capped in-loop costs fluctuate ~1e-3)."""
-    return cost > cost0 + max(2e-2, 0.10 * cost0)
+    convergence (chi-capped in-loop costs fluctuate ~1e-3); the 2e-3 floor
+    keeps the guard tight where the near-miss seeds live (a 0.02 warm
+    start regressing to 0.039 is rejected, not absorbed). Written in
+    not-(accept) form so a NaN cost — a likely signature of the device
+    fault class this guard exists for — fails CLOSED (rejected)."""
+    return not (cost <= cost0 + max(2e-3, 0.10 * cost0))
 
 
 class CostMinimiser:
@@ -210,11 +214,16 @@ class CostMinimiser:
         # (sweep_full_until_converged) runs O(cycles * G^2/2) applies in a
         # SINGLE device execution — minutes of wall at padded G >= 512,
         # which the axon worker killed in both n=50 local-cost outings
+        # the full-state cache, when valid, IS prefix+tape at the input
+        # angles: hand it over so the chunked loop skips the probe-free
+        # cost0 tape pass (~G applies + Gp/chunk relay syncs per layer)
+        init_state = comp._current_cache
+        init_state = () if init_state is None else init_state
         (kinds, angles, cost_dev, cycles, evals, final_state,
          cost0) = sweeps.sweep_full_chunked_until_converged(
             engine, rotoselect, int(max_cycles), prefix, ref, kinds, q0, q1,
             angles, jnp.asarray(full_mask), jnp.asarray(stop_val, dt),
-            jnp.asarray(tol, dt), weights)
+            jnp.asarray(tol, dt), weights, init_state=init_state)
         comp.cost_evaluation_counter += int(evals)
         cost = float(cost_dev)
         logger.info(f"{alg_name} ran {int(cycles)} full-cost cycles on device")
@@ -331,8 +340,13 @@ class CostMinimiser:
                     cycles += int(ccyc)
                     evals += int(cevals)
                     hist.append(float(cost_dev))
-                    if best is None or float(cost_dev) < best[0]:
-                        best = (float(cost_dev), kinds, angles, final_state)
+                    # NaN-safe: a NaN chunk endpoint must never become the
+                    # sticky best (NaN < x is False forever) — skip it and
+                    # let the backwards-guard reject the sweep if nothing
+                    # healthy follows
+                    c = float(cost_dev)
+                    if c == c and (best is None or c < best[0]):
+                        best = (c, kinds, angles, final_state)
                     if int(ccyc) < chunk:  # converged inside the chunk
                         break
                     if float(cost_dev) <= float(stop_val):

@@ -653,7 +653,8 @@ def sweep_full_chunked_until_converged(engine: SweepEngine, rotoselect: bool,
                                        max_cycles: int, prefix_state,
                                        ref_state, kinds, q0s, q1s, angles,
                                        select, stop_val, tol, weights,
-                                       call_budget: int = 32768):
+                                       call_budget: int = 32768,
+                                       init_state=()):
     """Host-driven full-cost convergence loop over bounded device calls.
 
     Mirrors sweep_full_until_converged's stopping semantics (stop_val,
@@ -665,17 +666,22 @@ def sweep_full_chunked_until_converged(engine: SweepEngine, rotoselect: bool,
     added wall is one ~33-70 ms relay sync per chunk.
 
     Returns (kinds, angles, final_cost, cycles, evals, final_state, cost0)
-    — cost0 as in sweep_until_converged (the minimiser's sweep guard). It
-    costs one probe-free tape pass (the same chunk program with an all-off
-    select mask), ~1/2 cycle of applies."""
+    — cost0 as in sweep_until_converged (the minimiser's sweep guard).
+    When the caller holds a valid full-state cache (prefix+tape at the
+    input angles) it passes it as `init_state` and the probe-free tape
+    pass (~1/2 cycle of applies, plus Gp/chunk relay syncs) that would
+    otherwise derive cost0 is skipped; `()` means no cache."""
     Gp = int(kinds.shape[0])
     chunk = max(16, min(Gp, call_budget // max(Gp, 1)))
-    no_probe = jnp.zeros_like(select)
-    l0 = prefix_state
-    for k0 in range(0, Gp, chunk):
-        _, _, l0, _ = sweep_full_chunk(
-            engine, rotoselect, chunk, jnp.int32(k0), l0, ref_state,
-            kinds, q0s, q1s, angles, no_probe, weights)
+    if not (isinstance(init_state, tuple) and init_state == ()):
+        l0 = init_state
+    else:
+        no_probe = jnp.zeros_like(select)
+        l0 = prefix_state
+        for k0 in range(0, Gp, chunk):
+            _, _, l0, _ = sweep_full_chunk(
+                engine, rotoselect, chunk, jnp.int32(k0), l0, ref_state,
+                kinds, q0s, q1s, angles, no_probe, weights)
     cost0 = float(_full_cost_jit(engine, ref_state, jnp.asarray(weights), l0))
     big = float("inf")
     hist = [big, big, big]

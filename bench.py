@@ -303,7 +303,13 @@ def main():
                         root_comm = f.read().strip()
                 except OSError:
                     root_comm = ""
-                if root_comm and not root_comm.startswith("python"):
+                if root_comm.startswith("python"):
+                    # a pidfile recording a python ROOT is an in-flight TPU
+                    # client itself: kill it like python descendants (it is
+                    # not in its own _descendants), never leave it running
+                    # beside the bench client (two-client worker crash)
+                    clients.append(root_pid)
+                elif root_comm:
                     try:
                         os.kill(root_pid, signal.SIGSTOP)
                         paused.append(root_pid)

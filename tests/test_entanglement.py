@@ -147,15 +147,20 @@ class TestNoisyCompile:
         assert overlap > 0.95
 
     def test_noise_model_degrades_sampled_cost(self):
+        # a circuit that is the identity in the clean limit: P(00)=1, cost 0,
+        # so ANY faithful noise strictly raises the sampled cost (a Bell
+        # target would not work here — amplitude damping pushes toward
+        # |00> and can LOWER its cost, which the old X-proxy channel hid)
         qc = Circuit(2)
         qc.h(0)
         qc.cx(0, 1)
+        qc.cx(0, 1)
+        qc.h(0)
         # t1/t2 are scaled by 1e6 ns; 0.002 -> 2000 ns vs 300 ns per 2q gate
         strong = create_noisemodel(t1=0.002, t2=0.0015, log_fidelities=False)
         noisy = AdaptCompiler(qc, backend=SamplingBackend(shots=8192, seed=6),
                               execute_kwargs={"noise_model": strong})
         clean = AdaptCompiler(qc, backend=SamplingBackend(shots=8192, seed=6))
-        # cost of the raw (identity-ansatz) full circuit: |<0|V^dag U|0>|^2
         assert noisy.evaluate_cost() > clean.evaluate_cost() + 0.01
 
     def test_zne_on_compiled_circuit(self):

@@ -177,3 +177,28 @@ class TestCompileInPartsMPS:
         result = compiler.compile_in_parts(max_depth_per_block=4)
         assert result.overlap > 0.97
         assert len(result.individual_results) >= 2
+
+
+class TestSweepGuard:
+    """VERDICT r4 weak #5 + ADVICE r4: the sweep-corruption guard must be
+    tight near convergence and fail CLOSED on NaN."""
+
+    def test_near_convergence_regression_rejected(self):
+        # a 0.02 warm start regressing to 0.039 is exactly the near-miss
+        # regime — must be rejected, not absorbed by a 2e-2 floor
+        from adaptaqc_tpu.optim.minimiser import _sweep_went_backwards
+        assert _sweep_went_backwards(0.039, 0.02)
+
+    def test_legitimate_jitter_accepted(self):
+        from adaptaqc_tpu.optim.minimiser import _sweep_went_backwards
+        # ~1e-3 chi-capped cost jitter near convergence is absorbed
+        assert not _sweep_went_backwards(0.0205, 0.02)
+        # healthy improvement always accepted
+        assert not _sweep_went_backwards(0.001, 0.02)
+        # early in a compile (cost ~1) the relative term dominates
+        assert not _sweep_went_backwards(1.05, 1.0)
+
+    def test_nan_fails_closed(self):
+        from adaptaqc_tpu.optim.minimiser import _sweep_went_backwards
+        assert _sweep_went_backwards(float("nan"), 0.02)
+        assert _sweep_went_backwards(float("nan"), 1.0)
