@@ -155,6 +155,13 @@ def independent_overlap(qmps, circuit, chi=64):
 def main():
     import json
     import os
+    if os.path.exists("/tmp/rmps_defer"):
+        # queue kill-switch: a higher-priority job chain (fig5) needs the
+        # TPU; the in-flight sprint's remaining per-seed invocations no-op
+        # (each seed is its own process, so this takes effect immediately)
+        # and a later job clears the flag and re-runs the same seed list
+        print("rmps_defer set: skipping (deferred to a later queue job)")
+        return
     seeds = [int(s) for s in sys.argv[1:]] or [1]
     results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "results_random_mps.jsonl")
