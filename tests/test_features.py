@@ -10,6 +10,7 @@ import pytest
 from adaptaqc_tpu import (AdaptCompiler, AdaptConfig, MPSBackend, SVBackend,
                           Circuit)
 from adaptaqc_tpu.circuits import operations as co
+from adaptaqc_tpu.compilers.approximate_compiler import ApproximateCompiler
 
 from reference_sim import simulate
 from test_sv_core import random_circuit
@@ -427,3 +428,59 @@ def test_compile_in_parts_resume_validates_args():
     with pytest.raises(ValueError, match="out of range"):
         compiler.compile_in_parts(max_depth_per_block=5, start_part=99,
                                   initial_ansatz=qc)
+
+
+def test_compile_in_parts_preserves_carried_fidelity():
+    """VERDICT r4 next #4: with reoptimise_carried='never', part k>0 must
+    not degrade the carried solution — every part's verified overlap stays
+    high, monotonically-ish (the dressed new block is learned by NEW layers
+    while carried angles stay at their part k-1 optimum)."""
+    np.random.seed(3)
+    rng = np.random.default_rng(9)
+    n = 3
+    target = Circuit(n)
+    for _ in range(6):
+        for q in range(n):
+            target.ry(float(rng.uniform(-1.2, 1.2)), q)
+        for q in range(n - 1):
+            target.cx(q, q + 1)
+    compiler = AdaptCompiler(target, backend=SVBackend())
+    result = compiler.compile_in_parts(max_depth_per_block=4,
+                                       reoptimise_carried="never")
+    assert len(result.individual_results) >= 2
+    # per-part verified stops: every part ends above the sufficient bar
+    # minus patience slack; the final independent overlap must clear 0.97
+    for r in result.individual_results:
+        assert r.overlap > 0.95, [x.overlap for x in result.individual_results]
+    assert result.overlap > 0.97
+
+
+def test_compile_in_parts_auto_widens_on_miss(monkeypatch):
+    """'auto' must retry a part with whole-range re-optimisation when the
+    frozen-carried attempt misses the verified-overlap bar."""
+    np.random.seed(4)
+    rng = np.random.default_rng(11)
+    n = 2
+    target = Circuit(n)
+    for _ in range(4):
+        target.ry(float(rng.uniform(-1.2, 1.2)), 0)
+        target.ry(float(rng.uniform(-1.2, 1.2)), 1)
+        target.cx(0, 1)
+    compiler = AdaptCompiler(target, backend=SVBackend())
+    calls = []
+    orig = AdaptCompiler.compile
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("optimise_initial_ansatz", True))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(AdaptCompiler, "compile", spy)
+    # force the bar impossibly high so every frozen attempt "misses"
+    monkeypatch.setattr(ApproximateCompiler, "_part_overlap_target",
+                        lambda self: 2.0)
+    result = compiler.compile_in_parts(max_depth_per_block=3,
+                                       reoptimise_carried="auto")
+    # parts beyond the first: a frozen attempt (False) followed by a
+    # widened retry (True)
+    assert False in calls and calls.count(True) >= 1
+    assert result.overlap > 0.9
