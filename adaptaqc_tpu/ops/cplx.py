@@ -461,7 +461,12 @@ EIGH_IMPL = ""  # programmatic override; wins over the environment
 
 
 def _eigh_impl() -> str:
-    return EIGH_IMPL or _os.environ.get("ADAPTAQC_EIGH", "") or "pallas"
+    # default "teig" since the 2026-08-20 round-5 A/B: in-kernel tridiagonal
+    # eigensolver beats the dense-native path on throughput (n=50 chi=64
+    # sweep 16,141 vs 15,326 evals/s) AND accuracy (f64-truth gate: s_err
+    # <= 1.8e-6 on 7-decade spectra vs embed's 5e-3; 386_teig_regate).
+    # Off-TPU / unsupported shapes resolve to embed inside svd_trunc.
+    return EIGH_IMPL or _os.environ.get("ADAPTAQC_EIGH", "") or "teig"
 
 
 def _pallas_platform_ok() -> bool:
@@ -530,13 +535,27 @@ def svd_trunc(theta: C, chi_keep: int, threshold: float):
         w, vrows = eigh_top_tridiag(h, chi_keep)
     else:
         w, vrows = eigh_top(h, chi_keep)  # descending; vrows[i] = v_i
-    s = jnp.sqrt(jnp.maximum(w, 0.0))
-    keep = s > threshold
-    s_k = jnp.where(keep, s, 0.0)
-    inv_s = jnp.where(s > 1e-30, 1.0 / jnp.maximum(s, 1e-30), 0.0)
-    # theta = U S V^H with V columns v_i: U = theta V / s, Vh rows = conj(v_i)
+    # theta = U S V^H with V columns v_i: U = theta V / s, Vh rows = conj(v_i).
+    # s is taken from the ACTUAL column norms ||theta v_i|| rather than
+    # sqrt(eigh(theta^H theta)) — on rank-deficient inputs the Gram's noise
+    # eigenvalues can be arbitrarily tiny (observed 1e-32 in f32) while the
+    # CGS basis row v_i still overlaps the true support, so dividing theta
+    # v_i by sqrt(w_i) manufactured U columns of norm up to ~1e16 and the
+    # center-gauge engine's norm exploded by 24 decades over one circuit
+    # (round-5 bug: cross_engine_overlap 6e-8 vs dense truth 0.99 at n=8).
+    # The column norm is linear in theta (no squaring loss), so small
+    # singular values also come out MORE accurate than via the Gram.
     u = theta @ vrows.T  # (m, chi_keep); columns theta v_i have norm s_i
-    u = C(u.re * (inv_s * keep), u.im * (inv_s * keep))
+    s = jnp.sqrt(jnp.sum(u.abs2(), axis=0))
+    # columns below the dtype's relative noise floor are unresolvable
+    # Gram-noise directions (they lie inside the true column space, i.e.
+    # DUPLICATE real directions): zero them even when threshold == 0, or
+    # gauge moves would accumulate non-isometric junk
+    floor = 8.0 * jnp.finfo(theta.re.dtype).eps * jnp.max(s)
+    keep = (s > threshold) & (s > floor)
+    s_k = jnp.where(keep, s, 0.0)
+    inv_s = jnp.where(keep, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    u = C(u.re * inv_s, u.im * inv_s)
     vh = vrows.conj()
     vh = C(vh.re * keep[:, None], vh.im * keep[:, None])
     return u, s_k, vh

@@ -365,3 +365,39 @@ class TestAnsatzStructure:
 
         # final 4: the starting circuit's inverse (x gates)
         assert all(g.name == "x" for g in gates[-4:])
+
+
+class TestSvdTruncRankDeficient:
+    """Round-5 regression: on a rank-deficient theta at chi >> rank, the
+    Gram's noise eigenvalues (as small as 1e-32 in f32) must not be used as
+    divisors — that manufactured U columns of norm ~1e16 and exploded the
+    center-gauge engine's norm by 24 decades (cross_engine_overlap 6e-8 vs
+    dense truth 0.99 on an n=8 fig5 solution circuit)."""
+
+    def test_u_columns_never_exceed_unit_norm(self):
+        from adaptaqc_tpu.ops import cplx
+        import jax.numpy as jnp
+        rng = np.random.default_rng(5)
+        m, n, rank = 128, 64, 2
+        a = rng.standard_normal((m, rank)) + 1j * rng.standard_normal((m, rank))
+        b = rng.standard_normal((rank, n)) + 1j * rng.standard_normal((rank, n))
+        qa, _ = np.linalg.qr(a)
+        qb, _ = np.linalg.qr(b.conj().T)
+        s_true = np.array([1.0, 4.5e-5])
+        theta_np = (qa * s_true) @ qb.conj().T
+        theta = cplx.C(jnp.asarray(theta_np.real, jnp.float32),
+                       jnp.asarray(theta_np.imag, jnp.float32))
+        u, s, vh = cplx.svd_trunc(theta, n, 0.0)
+        s = np.asarray(s, np.float64)
+        col_norms = np.sqrt(np.asarray(
+            jnp.sum(u.abs2(), axis=0), np.float64))
+        assert col_norms.max() < 1.0 + 1e-4, col_norms.max()
+        # kept values match the true spectrum at f32 accuracy; junk
+        # directions are zeroed, not amplified
+        assert abs(s[0] - 1.0) < 1e-5
+        assert s[s > 0].min() >= 0  # no negative/NaN
+        # reconstruction on the support
+        us = cplx.C(u.re * jnp.asarray(s, u.re.dtype),
+                    u.im * jnp.asarray(s, u.im.dtype))
+        recon = np.asarray((us @ vh).re) + 1j * np.asarray((us @ vh).im)
+        assert np.abs(recon - theta_np).max() < 5e-5
