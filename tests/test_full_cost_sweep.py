@@ -170,3 +170,44 @@ def test_hybrid_local_compile_with_global_polish():
     result = comp.compile()
     assert result.overlap > 0.97
     assert comp.phase_timings["global_polish"] > 0.0
+
+
+def test_chunked_full_sweep_uses_cached_init_state():
+    """ADVICE r4: a caller-provided init_state (the compiler's full-state
+    cache) must replace the probe-free cost0 tape pass — observable because
+    cost0 is then derived from the GIVEN state rather than re-simulated."""
+    import jax.numpy as jnp
+    from adaptaqc_tpu.circuits.tape import compile_tape, select_mask
+    from adaptaqc_tpu.optim import sweeps
+
+    comp, idx = _prepared_compiler(28, MPSBackend(), optimise_local_cost=True)
+    rng_range = comp.minimizer.variational_circuit_range()
+    tape = compile_tape(comp.full_circuit,
+                        (rng_range[0], len(comp.full_circuit.data)))
+    mask = select_mask(tape, [i - rng_range[0] for i in range(*idx)])
+    engine = comp.backend.sweep_engine()
+    prefix = comp._prefix_state()
+    ref = comp.backend.zero_ref(comp)
+    args = (jnp.asarray(tape.kinds), jnp.asarray(tape.q0),
+            jnp.asarray(tape.q1), jnp.asarray(tape.angles))
+    weights = jnp.asarray((0.0, 1.0, 0.0), args[3].dtype)
+
+    *_, cost0_plain = sweeps.sweep_full_chunked_until_converged(
+        engine, False, 1, prefix, ref, *args, jnp.asarray(mask),
+        -np.inf, 1e-10, weights)
+    # the true prefix+tape state: passing it must give the same cost0
+    l0 = prefix
+    for k0 in range(0, int(args[0].shape[0]), 16):
+        _, _, l0, _ = sweeps.sweep_full_chunk(
+            engine, False, 16, jnp.int32(k0), l0, ref, *args,
+            jnp.zeros_like(jnp.asarray(mask)), weights)
+    *_, cost0_cached = sweeps.sweep_full_chunked_until_converged(
+        engine, False, 1, prefix, ref, *args, jnp.asarray(mask),
+        -np.inf, 1e-10, weights, init_state=l0)
+    assert abs(float(cost0_plain) - float(cost0_cached)) < 1e-6
+    # a deliberately WRONG init_state must change cost0 — proof the cache
+    # is consumed instead of re-simulated
+    *_, cost0_wrong = sweeps.sweep_full_chunked_until_converged(
+        engine, False, 1, prefix, ref, *args, jnp.asarray(mask),
+        -np.inf, 1e-10, weights, init_state=ref)
+    assert abs(float(cost0_wrong) - float(cost0_plain)) > 1e-3
