@@ -47,6 +47,21 @@ from .approximate_compiler import (ApproximateCompiler,
 logger = logging.getLogger(__name__)
 
 
+def _wall_deadline_passed():
+    """Optional hard wall-clock stop for time-boxed benchmark runs.
+
+    ``ADAPTAQC_WALL_DEADLINE=<unix epoch seconds>``: when set and passed,
+    the layer loop stops with the best-so-far ansatz so downstream cleanup,
+    verification and record writing still run — a SIGTERM from ``timeout``
+    would instead lose the whole multi-hour record (the reference has no
+    equivalent knob; its Aer runs are interactive)."""
+    ddl = os.environ.get("ADAPTAQC_WALL_DEADLINE")
+    if not ddl:
+        return False
+    import time
+    return time.time() >= float(ddl)
+
+
 def _tape_has_2q(tape):
     """True where a tape entry is a 2-qubit gate (CX/CZ/SWAP/CXR)."""
     from ..circuits import gates as G
@@ -249,6 +264,10 @@ class AdaptCompiler(ApproximateCompiler):
                         i + 1, len(chis), chi, result.overlap)
             carried = result.circuit
             independent = None
+            if _wall_deadline_passed() and i < len(chis) - 1:
+                logger.warning("ADAPTAQC_WALL_DEADLINE reached; not "
+                               "escalating past chi=%d", chi)
+                break
             if 1.0 - result.overlap <= sufficient and i < len(chis) - 1:
                 # a gate-circuit target is itself SIMULATED at the stage's
                 # working chi, so a stage at a binding cap can "converge"
@@ -453,6 +472,12 @@ class AdaptCompiler(ApproximateCompiler):
                 self.minimizer.minimize_cost(
                     algorithm_kind=vconstants.ALG_ROTOSOLVE, max_cycles=10,
                     tol=1e-5, stop_val=self.adapt_config.sufficient_cost)
+                self.compiling_finished = True
+                break
+
+            if _wall_deadline_passed():
+                logger.warning("ADAPTAQC_WALL_DEADLINE reached; stopping "
+                               "with the best-so-far ansatz")
                 self.compiling_finished = True
                 break
 

@@ -323,3 +323,17 @@ def test_rotosolve_fraction_results_reproducible():
     assert r1.overlap == r2.overlap
     assert r1.qubit_pair_history == r2.qubit_pair_history
     assert r1.circuit_qasm == r2.circuit_qasm
+
+
+def test_wall_deadline_stops_after_one_layer(monkeypatch):
+    """ADAPTAQC_WALL_DEADLINE in the past: the layer loop stops after the
+    first layer (best-so-far), still producing a complete AdaptResult so a
+    time-boxed benchmark run writes a real record instead of dying to
+    SIGTERM. No reference counterpart (its runs are interactive)."""
+    monkeypatch.setenv("ADAPTAQC_WALL_DEADLINE", "1.0")
+    qc = co.create_random_initial_state_circuit(4, seed=13)
+    cfg = AdaptConfig(sufficient_cost=1e-12, max_layers=50)
+    result = AdaptCompiler(qc, adapt_config=cfg).compile()
+    assert len(result.qubit_pair_history) == 1
+    assert result.circuit_qasm
+    assert 0.0 <= result.overlap <= 1.0 + 1e-6
