@@ -10,6 +10,15 @@ Reads benchmarks/results_spin_chain.jsonl and lines up, per Trotter time t:
     (1/n) sum (-1)^i <Z_i> of the X-on-odd-sites Neel; the paper's
     convention ((1/2n), spin-flipped Neel, SM(0) = -0.5) is -0.5x ours.
 
+TIME-UNIT MAPPING (paper tau = 4 x our t): our trotter_circuit evolves the
+Pauli-operator XXZ Hamiltonian sum(XX + YY + delta ZZ) + field, while the
+paper's figure uses the spin-1/2-operator convention (S = sigma/2, so
+H_pauli = 4 H_spin on the bonds). Empirical pin: our n=50 steps1_dt0.2
+solution has paper-convention SM = -0.247, matching the TDVP series at
+tau = 0.8 = 4 x 0.2 to 0.003 (tdvp_neel_sm_timeseries.csv rows 0.6/-0.345,
+0.8/-0.2504, 1.0/-0.1558 — a steep region, so the 4x identification is
+tight). Paper depth/SM rows are therefore looked up at tau = 4 x t.
+
 Usage: python benchmarks/fig5_compare.py [--all]
   default: best record (highest overlap) per (n, steps, dt) at n=50;
   --all: every n.
@@ -91,13 +100,14 @@ def main():
     for r in records:
         n, steps, dt = r["_key"]
         t = steps * dt
-        p = depths.get(t, {})
+        tau = 4.0 * t  # paper time units (see module docstring)
+        p = depths.get(tau, {})
         aqc = p.get("ADAPT-AQC")
         raw = p.get("Ran.")
         sm_sol = r.get("sm_solution")
         sm_conv = "" if sm_sol is None else f"{-0.5 * sm_sol:+.3f}"
-        sm_ref = f"{interp(*tdvp, t):+.3f}"
-        print(f"{n:>3} {t:>5.2f} {r['overlap']:>7.4f} | "
+        sm_ref = f"{interp(*tdvp, tau):+.3f}"
+        print(f"{n:>3} {tau:>5.2f} {r['overlap']:>7.4f} | "
               f"{r.get('solution_2q_depth', '?'):>8} "
               f"{r.get('solution_2q_gates', '?'):>8} | "
               f"{str(aqc and f'{aqc[0]}/{aqc[1]}'):>21} "

@@ -10,8 +10,8 @@ cd /root/repo
 ck=benchmarks/checkpoints/spin_n50_s1_chi64_loc1
 [ -d "$ck" ] || { echo "spin1 continue: no checkpoint, 453 finished"; exit 0; }
 now=$(date +%s)
-cap=$(date -d "2026-08-21 01:30 UTC" +%s)
-ddl=$(( now + 4800 ))
+cap=$(date -d "2026-08-21 01:45 UTC" +%s)
+ddl=$(( now + 900 ))
 [ "$ddl" -gt "$cap" ] && ddl=$cap
 floor=$(( now + 900 ))
 [ "$ddl" -lt "$floor" ] && ddl=$floor

@@ -7,7 +7,7 @@
 # attempt writes a record instead of dying to its timeout.
 cd /root/repo
 rm -f /tmp/rmps_defer
-CUTOFF=$(date -d "2026-08-21 01:10 UTC" +%s)
+CUTOFF=$(date -d "2026-08-21 01:30 UTC" +%s)
 for s in 91 92 93 94 95 96 97 98 99 100; do
   [ "$(date +%s)" -ge "$CUTOFF" ] && { echo "seed batch: cutoff reached, ceding to fig5 5-step $(date)"; exit 0; }
   env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu timeout 120 \
