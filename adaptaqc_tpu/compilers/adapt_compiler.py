@@ -42,24 +42,10 @@ from ..optim.sinusoidal import has_stopped_improving
 from .adapt_config import AdaptConfig
 from .adapt_result import AdaptResult
 from .approximate_compiler import (ApproximateCompiler,
+                                   _wall_deadline_passed,
                                    calculate_overlap_between_circuits)
 
 logger = logging.getLogger(__name__)
-
-
-def _wall_deadline_passed():
-    """Optional hard wall-clock stop for time-boxed benchmark runs.
-
-    ``ADAPTAQC_WALL_DEADLINE=<unix epoch seconds>``: when set and passed,
-    the layer loop stops with the best-so-far ansatz so downstream cleanup,
-    verification and record writing still run — a SIGTERM from ``timeout``
-    would instead lose the whole multi-hour record (the reference has no
-    equivalent knob; its Aer runs are interactive)."""
-    ddl = os.environ.get("ADAPTAQC_WALL_DEADLINE")
-    if not ddl:
-        return False
-    import time
-    return time.time() >= float(ddl)
 
 
 def _tape_has_2q(tape):

@@ -34,6 +34,22 @@ from ..optim.minimiser import CostMinimiser
 logger = logging.getLogger(__name__)
 
 
+def _wall_deadline_passed():
+    """Optional hard wall-clock stop for time-boxed benchmark runs.
+
+    ``ADAPTAQC_WALL_DEADLINE=<unix epoch seconds>``: when set and passed,
+    layer loops stop with the best-so-far ansatz so downstream cleanup,
+    verification and record writing still run — a SIGTERM from ``timeout``
+    would instead lose the whole multi-hour record (the reference has no
+    equivalent knob; its Aer runs are interactive)."""
+    import os
+    ddl = os.environ.get("ADAPTAQC_WALL_DEADLINE")
+    if not ddl:
+        return False
+    import time
+    return time.time() >= float(ddl)
+
+
 class CompileInPartsResult:
     def __init__(self, circuit, overlap, individual_results, time_taken):
         """
@@ -365,7 +381,8 @@ class ApproximateCompiler(ABC):
                 initial_ansatz=warm_start,
                 optimise_initial_ansatz=not freeze_first)
             if (freeze_first and reoptimise_carried == "auto"
-                    and result.overlap < self._part_overlap_target()):
+                    and result.overlap < self._part_overlap_target()
+                    and not _wall_deadline_passed()):
                 logger.info(
                     f"part {i}: frozen-carried attempt ended at verified "
                     f"overlap {result.overlap:.4f} < target — widening to a "

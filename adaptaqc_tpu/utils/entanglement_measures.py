@@ -233,6 +233,66 @@ def sample_tomography_rdm(rho: np.ndarray, shots: int,
     return _project_to_density_matrix(est / 4.0)
 
 
+def _rotated_measurement_circuit(circuit, qubit: int, basis: str):
+    """Append the basis-change so a Z measurement of `qubit` reads out
+    `basis`: H for X; S^dagger then H for Y (rz(-pi/2) == S^dagger up to a
+    global phase, which sampling cannot see); nothing for Z. Mirrors the
+    measurement circuits qiskit_experiments' StateTomography schedules for
+    the reference (ref entanglement_measures.py:101-135)."""
+    if basis == "X":
+        circuit.h(qubit)
+    elif basis == "Y":
+        circuit.rz(-np.pi / 2, qubit)
+        circuit.h(qubit)
+    return circuit
+
+
+def circuit_tomography_rdm(circuit, qubit_1, qubit_2, backend,
+                           shots: int) -> np.ndarray:
+    """Genuine shot tomography: EXECUTE the 9 rotated measurement circuits
+    through the sampling backend's on-device categorical sampler,
+    marginalise each bitstring histogram onto (qubit_1, qubit_2), linear-
+    invert over the Pauli basis and project to the density-matrix cone —
+    the same pipeline the reference runs via qiskit_experiments'
+    StateTomography (ref :101-135), minus its least-squares fitter (linear
+    inversion + cone projection is the same estimator family
+    StateTomography defaults to for 2 qubits)."""
+    from ..circuits.tape import compile_tape
+    lo, hi = min(qubit_1, qubit_2), max(qubit_1, qubit_2)
+    n = circuit.num_qubits
+    corr = {}
+    singles_hi = {p: [] for p in "XYZ"}
+    singles_lo = {p: [] for p in "XYZ"}
+    for basis_hi, basis_lo in _TOMO_SETTINGS:
+        meas = circuit.copy()
+        _rotated_measurement_circuit(meas, hi, basis_hi)
+        _rotated_measurement_circuit(meas, lo, basis_lo)
+        state = backend._sv.initial_state(meas, n)
+        start = 1 if (meas.data and meas.data[0].name in
+                      ("set_mps", "set_statevector")) else 0
+        state = backend._sv.run_tape(
+            state, compile_tape(meas, (start, len(meas.data))))
+        freqs = np.zeros(4)
+        for key, c in backend._sample_state(state, shots, n).items():
+            v = int(key, 2)
+            s_hi = (v >> hi) & 1
+            s_lo = (v >> lo) & 1
+            freqs[2 * s_hi + s_lo] += c
+        freqs /= shots
+        sign_hi = np.array([1, 1, -1, -1])
+        sign_lo = np.array([1, -1, 1, -1])
+        corr[(basis_hi, basis_lo)] = float(np.dot(sign_hi * sign_lo, freqs))
+        singles_hi[basis_hi].append(float(np.dot(sign_hi, freqs)))
+        singles_lo[basis_lo].append(float(np.dot(sign_lo, freqs)))
+    est = np.eye(4, dtype=complex)
+    for p in "XYZ":
+        est += np.mean(singles_hi[p]) * np.kron(_PAULIS[p], _PAULIS["I"])
+        est += np.mean(singles_lo[p]) * np.kron(_PAULIS["I"], _PAULIS[p])
+    for (p, q), value in corr.items():
+        est += value * np.kron(_PAULIS[p], _PAULIS[q])
+    return _project_to_density_matrix(est / 4.0)
+
+
 def perform_quantum_tomography(circuit, qubit_1, qubit_2, backend,
                                backend_options=None, execute_kwargs=None,
                                shots: Optional[int] = None,
@@ -240,18 +300,23 @@ def perform_quantum_tomography(circuit, qubit_1, qubit_2, backend,
                                ) -> np.ndarray:
     """Shot-based tomography of the reduced state of (qubit_1, qubit_2)
     after running `circuit` (ref :101-135). Returns the estimated RDM with
-    min(qubit_1, qubit_2) as the low bit."""
+    min(qubit_1, qubit_2) as the low bit.
+
+    A SamplingBackend executes the 9 rotated measurement circuits for real
+    (circuit_tomography_rdm); statevector-class backends use the
+    statistically identical fast path (multinomial draws from the exact
+    per-setting outcome distributions, sample_tomography_rdm)."""
     from ..backends.backend import SamplingBackend
     from ..circuits.running import run_circuit_without_transpilation
     execute_kwargs = execute_kwargs or {}
-    sv = run_circuit_without_transpilation(circuit, backend,
-                                           return_statevector=True) \
-        if not isinstance(backend, SamplingBackend) else \
-        run_circuit_without_transpilation(circuit, backend._sv,
-                                          return_statevector=True)
-    exact = partial_trace(sv, min(qubit_1, qubit_2), max(qubit_1, qubit_2))
     shots = shots or execute_kwargs.get("shots",
                                         getattr(backend, "shots", 8192))
+    if isinstance(backend, SamplingBackend):
+        return circuit_tomography_rdm(circuit, qubit_1, qubit_2, backend,
+                                      shots)
+    sv = run_circuit_without_transpilation(circuit, backend,
+                                           return_statevector=True)
+    exact = partial_trace(sv, min(qubit_1, qubit_2), max(qubit_1, qubit_2))
     rng = rng or getattr(backend, "rng", None) or np.random.default_rng()
     return sample_tomography_rdm(exact, shots, rng)
 

@@ -37,5 +37,5 @@ PY
 [ -z "$best" ] && { echo "spin5 ladder: no 1-step circuit to start from"; exit 1; }
 echo "spin5 ladder: warm start from $best, deadline $(date -d @$ddl)"
 ADAPTAQC_WALL_DEADLINE=$ddl SPIN_PARTS=1 SPIN_RESUME_FROM="$best" \
-  SPIN_RESUME_PART=1 SPIN_CHI=64 SPIN_LAYERS=400 SPIN_SUFF=8e-3 \
+  SPIN_RESUME_PART=1 SPIN_CHI=64 SPIN_LAYERS=200 SPIN_SUFF=8e-3 \
   timeout $(( end - now )) python benchmarks/spin_chain.py 50 5 0.2

@@ -172,3 +172,42 @@ class TestNoisyCompile:
         extrapolated = zero_noise_extrapolate(compiler.full_circuit,
                                               compiler.evaluate_cost)
         assert np.isfinite(extrapolated)
+
+
+class TestCircuitExecutingTomography:
+    """perform_quantum_tomography on a SamplingBackend now EXECUTES the 9
+    rotated measurement circuits (ref entanglement_measures.py:101-135)
+    instead of sampling from the exact RDM."""
+
+    def test_bell_rdm_reconstructed_from_rotated_circuits(self):
+        qc = Circuit(3)
+        qc.h(0)
+        qc.cx(0, 1)
+        qc.ry(0.4, 2)  # spectator qubit: marginalisation must ignore it
+        backend = SamplingBackend(shots=60_000, seed=5)
+        est = em.perform_quantum_tomography(qc, 0, 1, backend)
+        assert np.abs(est - RHO_BELL).max() < 2e-2
+        assert em.concurrence(est) == pytest.approx(1.0, abs=5e-2)
+
+    def test_y_basis_sign_convention(self):
+        # |+i> on qubit 0: <Y> = +1 distinguishes Sdg+H from S+H
+        qc = Circuit(2)
+        qc.h(0)
+        qc.s(0)
+        backend = SamplingBackend(shots=30_000, seed=6)
+        est = em.perform_quantum_tomography(qc, 0, 1, backend)
+        y_exp = np.real(np.trace(
+            est @ np.kron(em._PAULIS["I"], em._PAULIS["Y"])))
+        assert y_exp == pytest.approx(1.0, abs=3e-2)
+
+    def test_draws_differ_but_both_valid(self):
+        qc = Circuit(2)
+        qc.h(0)
+        qc.cx(0, 1)
+        backend = SamplingBackend(shots=1024, seed=9)
+        a = em.perform_quantum_tomography(qc, 0, 1, backend)
+        b = em.perform_quantum_tomography(qc, 0, 1, backend)
+        assert not np.allclose(a, b)  # real shot noise, fresh draws
+        for est in (a, b):
+            assert np.trace(est).real == pytest.approx(1.0)
+            assert np.linalg.eigvalsh(0.5 * (est + est.conj().T)).min() >= -1e-12
