@@ -496,6 +496,41 @@ def set_eigh_impl(impl: str):
     jax.clear_caches()
 
 
+class verification_eigh:
+    """Context manager pinning eigh to the robust `embed` path for one-shot
+    verification re-simulations (cross-engine check, chi-doubled true cost,
+    `_overlap_at_chi`).
+
+    On the TPU the teig/pallas kernels are the production SWEEP path — their
+    in-loop costs cross-check against CPU to 4 decimals — but two deep
+    one-shot re-simulations under them collapsed to overlap ~0 on 2026-08-21
+    (n=50 center-gauge cross-check; n=50 chi-doubled true cost) while the
+    identical computation under `embed` (and on CPU) agreed with the in-loop
+    value. Verification must not share the failure modes of the path it
+    verifies, so it always runs on the native-eigh embedding. The
+    `set_eigh_impl` jit-cache clears cost a re-trace of the sweep programs
+    at the next optimisation call (compiled binaries reload from the
+    persistent cache) — acceptable at verification frequency. No-op when
+    embed is already the resolved implementation."""
+
+    def __enter__(self):
+        self._prev = None
+        # off-TPU (and without interpret mode) svd_trunc already falls back
+        # to embed at the use site, so flipping would only pay the cache
+        # clears for nothing
+        pallas_live = (_pallas_platform_ok()
+                       or bool(_os.environ.get("ADAPTAQC_PALLAS_INTERPRET")))
+        if _eigh_impl() != "embed" and pallas_live:
+            self._prev = EIGH_IMPL
+            set_eigh_impl("embed")
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            set_eigh_impl(self._prev or "")
+        return False
+
+
 def svd_trunc(theta: C, chi_keep: int, threshold: float):
     """Truncated SVD of complex theta (m x n), top chi_keep singular values.
 

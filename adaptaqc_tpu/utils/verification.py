@@ -50,9 +50,7 @@ def cross_engine_overlap(target, circuit, chi: int = 64,
     # different eigh implementation than the engine under test also makes
     # the check strictly more independent. One-off per record, so the
     # set_eigh_impl jit-cache clears are affordable here.
-    prev = cplx.EIGH_IMPL
-    cplx.set_eigh_impl("embed")
-    try:
+    with cplx.verification_eigh():
         if isinstance(target, mps_core.MPS):
             tgt = center_mps.from_bform(mps_core.regauge(target, chi))
         elif mps_core.check_mps(target):
@@ -64,5 +62,3 @@ def cross_engine_overlap(target, circuit, chi: int = 64,
         tnrm2 = float(center_mps.norm_sq(tgt))
         return float(center_mps.cmps_dot(tgt, sol).abs2()
                      / max(nrm2 * tnrm2, 1e-30))
-    finally:
-        cplx.set_eigh_impl(prev or "")

@@ -23,5 +23,5 @@ for line in open('benchmarks/results_spin_chain.jsonl'):
 sys.exit(0 if ok else 1)
 PY
 [ "$(date +%s)" -ge "$(date -d "2026-08-21 02:10 UTC" +%s)" ] && { echo "n8 recheck: no window"; exit 0; }
-ADAPTAQC_WALL_DEADLINE=$(( $(date +%s) + 700 )) SPIN_CHI=32 \
-  timeout 1200 python benchmarks/spin_chain.py 8 1 0.2
+ADAPTAQC_WALL_DEADLINE=$(( $(date +%s) + 1100 )) SPIN_CHI=32 \
+  timeout 1800 python benchmarks/spin_chain.py 8 1 0.2

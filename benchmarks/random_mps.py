@@ -137,19 +137,24 @@ def independent_overlap(qmps, circuit, chi=64):
     from adaptaqc_tpu.backends import mps_core
     from adaptaqc_tpu.circuits.operations import make_quantum_only_circuit
     from adaptaqc_tpu.circuits.tape import compile_tape
+    from adaptaqc_tpu.ops import cplx
 
-    target = mps_core.from_qiskit_mps(qmps, chi)
-    tape = compile_tape(make_quantum_only_circuit(circuit))
-    state = mps_core.apply_tape(
-        mps_core.zero_mps(len(qmps[0]), chi), jnp.asarray(tape.kinds),
-        jnp.asarray(tape.q0), jnp.asarray(tape.q1),
-        jnp.asarray(tape.angles), 1e-16)
-    # normalised: chi >> true-rank f32 chains drift in scale (see
-    # adapt_compiler._true_cost_of_gate_circuit)
-    nrm2 = float(mps_core.mps_dot(state, state).re)
-    tnrm2 = float(mps_core.mps_dot(target, target).re)
-    return float(mps_core.mps_dot(target, state).abs2()
-                 / max(nrm2 * tnrm2, 1e-30))
+    # verification runs on the embed eigh (cplx.verification_eigh): one-shot
+    # deep re-simulations under the teig/pallas sweep kernels collapsed to
+    # overlap ~0 on the TPU (2026-08-21) while embed agreed with CPU
+    with cplx.verification_eigh():
+        target = mps_core.from_qiskit_mps(qmps, chi)
+        tape = compile_tape(make_quantum_only_circuit(circuit))
+        state = mps_core.apply_tape(
+            mps_core.zero_mps(len(qmps[0]), chi), jnp.asarray(tape.kinds),
+            jnp.asarray(tape.q0), jnp.asarray(tape.q1),
+            jnp.asarray(tape.angles), 1e-16)
+        # normalised: chi >> true-rank f32 chains drift in scale (see
+        # adapt_compiler._true_cost_of_gate_circuit)
+        nrm2 = float(mps_core.mps_dot(state, state).re)
+        tnrm2 = float(mps_core.mps_dot(target, target).re)
+        return float(mps_core.mps_dot(target, state).abs2()
+                     / max(nrm2 * tnrm2, 1e-30))
 
 
 def main():

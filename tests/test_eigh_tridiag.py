@@ -313,3 +313,26 @@ def test_mps_engine_equivalence_under_teig(monkeypatch):
     finally:
         monkeypatch.delenv("ADAPTAQC_PALLAS_INTERPRET")
         cplx.set_eigh_impl(old)
+
+
+def test_verification_eigh_context_pins_embed_and_restores(monkeypatch):
+    """One-shot verification re-simulations must not share the sweep path's
+    eigh kernels (TPU teig/pallas deep-chain collapse, 2026-08-21): the
+    context pins `embed` and restores the caller's choice, including the
+    unset (environment-resolved) state. (Interpret env makes the pallas
+    path "live" on CPU so the flip is exercised.)"""
+    from adaptaqc_tpu.ops import cplx
+    monkeypatch.setenv("ADAPTAQC_PALLAS_INTERPRET", "1")
+    prev = cplx.EIGH_IMPL
+    try:
+        cplx.set_eigh_impl("teig")
+        with cplx.verification_eigh():
+            assert cplx._eigh_impl() == "embed"
+        assert cplx._eigh_impl() == "teig"
+        cplx.set_eigh_impl("")  # environment/default-resolved
+        resolved = cplx._eigh_impl()
+        with cplx.verification_eigh():
+            assert cplx._eigh_impl() == "embed"
+        assert cplx._eigh_impl() == resolved
+    finally:
+        cplx.set_eigh_impl(prev or "")
