@@ -7,13 +7,13 @@
 # start_part=1 warm-started from the best recorded 1-step solution, with
 # the round-5 carried-fidelity protection (reoptimise_carried="auto")
 # keeping each part from destroying the carried overlap.
-# ADAPTAQC_WALL_DEADLINE stops each part's layer loop at 03:00 UTC
+# ADAPTAQC_WALL_DEADLINE stops each part's layer loop at 03:10 UTC
 # (post-deadline parts fast-forward at one layer each) so the ladder
 # always records its part_overlaps; 03:30 timeout is the backstop.
 cd /root/repo
 now=$(date +%s)
-ddl=$(date -d "2026-08-21 03:00 UTC" +%s)
-end=$(date -d "2026-08-21 03:40 UTC" +%s)
+ddl=$(date -d "2026-08-21 03:10 UTC" +%s)
+end=$(date -d "2026-08-21 03:45 UTC" +%s)
 [ "$end" -le "$now" ] && { echo "spin5: no window left $(date)"; exit 0; }
 [ "$ddl" -le "$now" ] && ddl=$(( now + 600 ))
 best=$(python3 - <<'PY'

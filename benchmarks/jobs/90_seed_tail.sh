@@ -1,10 +1,10 @@
 # Tail filler: spend whatever window remains after the fig5 5-step hybrid
 # on the outstanding paper seeds — fresh seeds first (near-certain +1
-# each), then the 6 near-miss refines. Start cutoff 03:30 UTC; per-run
+# each), then the 6 near-miss refines. Start cutoff 03:42 UTC; per-run
 # wall deadline so the last attempt still records before the driver's
 # round-end bench (which kills in-flight clients).
 cd /root/repo
-CUTOFF=$(date -d "2026-08-21 03:30 UTC" +%s)
+CUTOFF=$(date -d "2026-08-21 03:42 UTC" +%s)
 for s in 91 92 93 94 95 96 97 98 99 100 59 68 72 76 82 83; do
   [ "$(date +%s)" -ge "$CUTOFF" ] && { echo "seed tail: cutoff $(date)"; exit 0; }
   env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu timeout 120 \
